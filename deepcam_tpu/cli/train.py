@@ -1,0 +1,333 @@
+"""DeepCAM training driver — TPU-native end-to-end trainer.
+
+Parity target: ``/root/reference/src/deepCam/train_hdf5_ddp.py`` (CLI flags
+:548-577, main loop :94-542).  Emits the same MLPerf key contract
+(SURVEY.md §2.3.11), uses the same seeds/hyperparameters, stops at the same
+convergence criterion (validation mean IoU >= --target_iou), and writes the
+same ``<prefix>_step_<N>.cpt`` checkpoints.
+
+TPU-native differences (by design, not omission):
+* one controller process per host drives all local chips; the per-chip batch
+  is ``--local_batch_size`` and the global batch is chips * local_batch_size;
+* the train step is a single jitted ``shard_map`` with psum gradient
+  reduction — there is no DDP wrapper, no NCCL, no AMP loss scaling (bf16);
+* validation runs at a fixed per-chip batch with a validity mask instead of
+  batch-1 loops, preserving the per-sample averaging semantics exactly.
+"""
+
+from __future__ import annotations
+
+import argparse as ap
+import os
+import time
+
+import numpy as np
+
+
+class StoreDictKeyPair(ap.Action):
+    """``--lr_schedule type=multistep,milestones="15000 25000",decay_rate=0.1``
+    (parity: train_hdf5_ddp.py:84-90)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        my_dict = {}
+        for kv in values.split(","):
+            k, v = kv.split("=")
+            my_dict[k] = v
+        setattr(namespace, self.dest, my_dict)
+
+
+def build_parser() -> ap.ArgumentParser:
+    AP = ap.ArgumentParser(description="DeepCAM TPU training")
+    AP.add_argument("--wireup_method", type=str, default="auto",
+                    choices=["auto", "jax", "dummy"],
+                    help="Distributed wireup: auto-detect, force jax.distributed, or none")
+    AP.add_argument("--run_tag", type=str, default="deepcam-tpu")
+    AP.add_argument("--output_dir", type=str, default="./output")
+    AP.add_argument("--checkpoint", type=str, default=None)
+    AP.add_argument("--data_dir_prefix", type=str, default="/")
+    AP.add_argument("--max_inter_threads", type=int, default=4,
+                    help="Maximum number of concurrent readers")
+    AP.add_argument("--max_epochs", type=int, default=30)
+    AP.add_argument("--save_frequency", type=int, default=100)
+    AP.add_argument("--validation_frequency", type=int, default=100)
+    AP.add_argument("--max_validation_steps", type=int, default=None)
+    AP.add_argument("--logging_frequency", type=int, default=100)
+    AP.add_argument("--training_visualization_frequency", type=int, default=0)
+    AP.add_argument("--validation_visualization_frequency", type=int, default=0)
+    AP.add_argument("--local_batch_size", type=int, default=1,
+                    help="Samples per chip per step")
+    AP.add_argument("--channels", type=int, nargs="+",
+                    default=list(range(16)))
+    AP.add_argument("--optimizer", type=str, default="Adam",
+                    choices=["Adam", "AdamW", "LAMB"])
+    AP.add_argument("--start_lr", type=float, default=1e-3)
+    AP.add_argument("--adam_eps", type=float, default=1e-8)
+    AP.add_argument("--weight_decay", type=float, default=1e-6)
+    AP.add_argument("--loss_weight_pow", type=float, default=-0.125)
+    AP.add_argument("--lr_warmup_steps", type=int, default=0)
+    AP.add_argument("--lr_warmup_factor", type=float, default=1.0)
+    AP.add_argument("--lr_schedule", action=StoreDictKeyPair, default=None)
+    AP.add_argument("--target_iou", type=float, default=0.82)
+    AP.add_argument("--model_prefix", type=str, default="model")
+    AP.add_argument("--amp_opt_level", type=str, default="O1",
+                    help="O0 = fp32 compute; O1/O2 = bf16 compute (TPU AMP analogue)")
+    AP.add_argument("--enable_wandb", action="store_true")
+    AP.add_argument("--wandb_certdir", type=str, default="/opt/certs")
+    AP.add_argument("--resume_logging", action="store_true")
+    AP.add_argument("--seed", type=int, default=333)
+    AP.add_argument("--remat", action="store_true",
+                    help="rematerialize middle-flow activations to save HBM")
+    AP.add_argument("--eval_local_batch_size", type=int, default=1,
+                    help="Per-chip validation batch (semantics stay per-sample)")
+    return AP
+
+
+def main(pargs) -> dict:
+    # Heavy imports deferred so --help stays fast.
+    import jax
+    import jax.numpy as jnp
+
+    from ..ckpt.checkpoint import checkpoint_path, restore_checkpoint, save_checkpoint
+    from ..core import mesh as meshlib
+    from ..data.dataset import CamDataset
+    from ..data.pipeline import DataLoader, prefetch_to_device
+    from ..models.deeplab import DeepLabv3plus
+    from ..obs.mlperf_log import MLPerfLogger
+    from ..train.losses import FPW_1, FPW_2, class_weights
+    from ..train.optim import build_optimizer
+    from ..train.schedule import get_lr_schedule
+    from ..train.trainer import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    meshlib.init_distributed(pargs.wireup_method)
+    comm_rank = meshlib.get_rank()
+    comm_size = meshlib.get_size()
+    n_chips = jax.device_count()
+    n_local = jax.local_device_count()
+
+    pargs.logging_frequency = max(pargs.logging_frequency, 1)
+    log_file = os.path.normpath(
+        os.path.join(pargs.output_dir, "logs", pargs.run_tag + ".log")
+    )
+    logger = MLPerfLogger(log_file, "deepcam", "deepcam_tpu")
+    logger.log_start(key="init_start", sync=True)
+    logger.log_event(key="cache_clear")
+
+    seed = pargs.seed
+    logger.log_event(key="seed", value=seed)
+
+    if comm_rank == 0:
+        os.makedirs(pargs.output_dir, exist_ok=True)
+
+    global_batch_size = pargs.local_batch_size * n_chips
+    logger.log_event(key="global_batch_size", value=global_batch_size)
+    logger.log_event(key="opt_name", value=pargs.optimizer)
+    logger.log_event(
+        key="opt_base_learning_rate",
+        value=pargs.start_lr * pargs.lr_warmup_factor,
+    )
+    logger.log_event(
+        key="opt_learning_rate_warmup_steps", value=pargs.lr_warmup_steps
+    )
+    logger.log_event(
+        key="opt_learning_rate_warmup_factor", value=pargs.lr_warmup_factor
+    )
+    logger.log_event(key="opt_epsilon", value=pargs.adam_eps)
+
+    # ----- model / optimizer / state ------------------------------------
+    compute_dtype = jnp.float32 if pargs.amp_opt_level == "O0" else jnp.bfloat16
+    n_input_channels = len(pargs.channels)
+    n_output_channels = 3
+    model = DeepLabv3plus(
+        n_classes=n_output_channels, output_stride=16, dtype=compute_dtype
+    )
+
+    root_dir = pargs.data_dir_prefix
+    train_dir = os.path.join(root_dir, "train")
+    statsfile = os.path.join(root_dir, "stats.h5")
+    validation_dir = os.path.join(root_dir, "validation")
+
+    train_set = CamDataset(
+        train_dir, statsfile=statsfile, channels=pargs.channels,
+        allow_uneven_distribution=False, shuffle=True,
+        comm_size=comm_size, comm_rank=comm_rank,
+    )
+    validation_set = CamDataset(
+        validation_dir, statsfile=statsfile, channels=pargs.channels,
+        allow_uneven_distribution=True,
+        shuffle=(pargs.max_validation_steps is not None),
+        comm_size=comm_size, comm_rank=comm_rank,
+    )
+    h, w = train_set.data_shape[0], train_set.data_shape[1]
+
+    host_batch = pargs.local_batch_size * n_local
+    train_loader = DataLoader(
+        train_set, host_batch,
+        num_workers=min(pargs.max_inter_threads * n_local, host_batch),
+        drop_last=True,
+    )
+    eval_host_batch = pargs.eval_local_batch_size * n_local
+    validation_loader = DataLoader(
+        validation_set, eval_host_batch,
+        num_workers=min(pargs.max_inter_threads * n_local, eval_host_batch),
+        drop_last=False,
+    )
+
+    logger.log_event(key="train_samples", value=train_set.global_size)
+    if pargs.max_validation_steps is not None:
+        val_size = min(
+            validation_set.global_size,
+            pargs.max_validation_steps * pargs.eval_local_batch_size * n_chips,
+        )
+    else:
+        val_size = validation_set.global_size
+    logger.log_event(key="eval_samples", value=val_size)
+    if pargs.max_validation_steps is not None:
+        logger.log_event(key="invalid_submission")
+
+    # init model params (replicated across hosts via identical seed)
+    rng = jax.random.PRNGKey(seed)
+    sample_shape = (1, h, w, n_input_channels)
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros(sample_shape, jnp.float32), train=False)
+    )(rng)
+
+    lr_sched = get_lr_schedule(
+        pargs.start_lr, pargs.lr_schedule,
+        warmup_steps=pargs.lr_warmup_steps,
+        warmup_factor=pargs.lr_warmup_factor,
+    )
+    tx = build_optimizer(
+        pargs.optimizer, lr_sched, eps=pargs.adam_eps,
+        weight_decay=pargs.weight_decay,
+    )
+    state = create_train_state(model, variables, tx)
+    del variables
+
+    start_epoch = 0
+    if pargs.checkpoint:
+        state, start_epoch = restore_checkpoint(pargs.checkpoint, state)
+
+    mesh = meshlib.make_mesh(spatial=1)
+    data_sharding = meshlib.batch_sharding(mesh)
+    weights = list(class_weights(pargs.loss_weight_pow))
+    train_step = make_train_step(
+        model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2, remat=pargs.remat
+    )
+    eval_step = make_eval_step(model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2)
+
+    # place state on the mesh (replicated)
+    state = jax.device_put(state, meshlib.replicated(mesh))
+
+    step = int(state.step)
+    epoch = start_epoch
+    current_lr = float(lr_sched(step))
+    stop_training = False
+
+    logger.log_end(key="init_stop", sync=True)
+    logger.log_start(key="run_start", sync=True)
+    run_start_time = time.time()
+
+    def run_validation(state, epoch, step):
+        nonlocal stop_training
+        logger.log_start(key="eval_start", metadata={"epoch_num": epoch + 1})
+        count = loss_sum = iou_sum = 0.0
+        max_samples = None
+        if pargs.max_validation_steps is not None:
+            # reference processes max_validation_steps+1 batch-1 samples per
+            # rank before breaking (post-increment check, :484-487)
+            max_samples = (pargs.max_validation_steps + 1) * pargs.eval_local_batch_size
+        seen_local = 0
+        for data, label, _ in validation_loader:
+            n = data.shape[0]
+            valid = np.ones((n,), np.float32)
+            if max_samples is not None and seen_local + n > max_samples * n_local:
+                keep = max(0, max_samples * n_local - seen_local)
+                valid[keep:] = 0.0
+            if n < eval_host_batch:  # pad trailing partial batch
+                pad = eval_host_batch - n
+                data = np.concatenate([data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+                label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
+                valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
+            seen_local += n
+            d = jax.device_put(data, data_sharding)
+            l = jax.device_put(label, data_sharding)
+            v = jax.device_put(valid, data_sharding)
+            c, ls, isum = eval_step(state, d, l, v)
+            count += float(c); loss_sum += float(ls); iou_sum += float(isum)
+            if max_samples is not None and seen_local >= max_samples * n_local:
+                break
+        loss_avg_val = loss_sum / max(count, 1.0)
+        iou_avg_val = iou_sum / max(count, 1.0)
+        logger.log_event(key="eval_accuracy", value=iou_avg_val,
+                         metadata={"epoch_num": epoch + 1, "step_num": step})
+        logger.log_event(key="eval_loss", value=loss_avg_val,
+                         metadata={"epoch_num": epoch + 1, "step_num": step})
+        if iou_avg_val >= pargs.target_iou:
+            logger.log_event(key="target_accuracy_reached", value=pargs.target_iou,
+                             metadata={"epoch_num": epoch + 1, "step_num": step})
+            stop_training = True
+        logger.log_end(key="eval_stop", metadata={"epoch_num": epoch + 1})
+        return loss_avg_val, iou_avg_val
+
+    final_metrics = {"step": step, "epoch": epoch, "eval_iou": None}
+
+    while True:
+        logger.log_start(key="epoch_start",
+                         metadata={"epoch_num": epoch + 1, "step_num": step}, sync=True)
+
+        for data, label, _ in prefetch_to_device(
+            train_loader, data_sharding, data_sharding
+        ):
+            state, metrics = train_step(state, data, label)
+            step += 1
+            current_lr = float(lr_sched(step))
+
+            if step % pargs.logging_frequency == 0:
+                loss_avg = float(metrics["loss"])
+                iou_avg = float(metrics["iou"])
+                logger.log_event(key="learning_rate", value=current_lr,
+                                 metadata={"epoch_num": epoch + 1, "step_num": step})
+                logger.log_event(key="train_accuracy", value=iou_avg,
+                                 metadata={"epoch_num": epoch + 1, "step_num": step})
+                logger.log_event(key="train_loss", value=loss_avg,
+                                 metadata={"epoch_num": epoch + 1, "step_num": step})
+
+            if step % pargs.validation_frequency == 0:
+                eval_loss, eval_iou = run_validation(state, epoch, step)
+                final_metrics["eval_iou"] = eval_iou
+
+            if pargs.save_frequency > 0 and step % pargs.save_frequency == 0:
+                logger.log_start(key="save_start",
+                                 metadata={"epoch_num": epoch + 1, "step_num": step},
+                                 sync=True)
+                save_checkpoint(
+                    checkpoint_path(pargs.output_dir, pargs.model_prefix, step),
+                    state, epoch,
+                )
+                logger.log_end(key="save_stop",
+                               metadata={"epoch_num": epoch + 1, "step_num": step},
+                               sync=True)
+
+            if stop_training:
+                break
+
+        logger.log_end(key="epoch_stop",
+                       metadata={"epoch_num": epoch + 1, "step_num": step}, sync=True)
+        epoch += 1
+        if epoch >= pargs.max_epochs or stop_training:
+            break
+
+    logger.log_end(key="run_stop", sync=True, metadata={"status": "success"})
+    logger.close()
+    final_metrics.update(
+        step=step, epoch=epoch, wall_time=time.time() - run_start_time
+    )
+    return final_metrics
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,221 @@
+"""DeepLabV3+ segmentation head + full model, TPU-native.
+
+Parity target: ``/root/reference/src/deepCam/architecture/deeplab_xception.py``
+(``ASPP_module`` :282, ``InterpolationUpsampler`` :315, ``DeconvUpsampler``
+:347, ``DeepLabv3_plus`` :398).  Layouts are NHWC, compute dtype configurable
+(bf16 on TPU), params fp32.
+
+Init parity notes (see layers.py docstring): the Xception/ASPP trees use
+torch-kaiming-normal; the global-average-pool conv, the 1280→256 and 128→48
+projection convs, and the entire decoder keep PyTorch *default* init because
+the reference never calls their (name-mangled) ``__init_weight`` methods.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.interpolate import resize_bilinear_align_corners
+from .layers import (
+    BatchNorm2d,
+    Conv2d,
+    ConvTranspose2d,
+    kaiming_normal_torch,
+    torch_default_conv_kernel_init,
+)
+from .xception import Xception
+
+Dtype = Any
+
+
+class ASPPModule(nn.Module):
+    """Atrous spatial pyramid pooling branch (``ASPP_module``, :282-312).
+
+    rate == 1 → 1x1 conv, padding 0; rate > 1 → 3x3 conv, padding = dilation =
+    rate.  Conv(no bias) + BN + ReLU, torch-kaiming-normal init.
+    """
+
+    features: int
+    rate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate == 1:
+            kernel_size, padding = 1, 0
+        else:
+            kernel_size, padding = 3, self.rate
+        x = Conv2d(
+            self.features,
+            kernel_size,
+            stride=1,
+            padding=padding,
+            dilation=self.rate,
+            kernel_init=kaiming_normal_torch(),
+            dtype=self.dtype,
+            name="atrous_conv",
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn")(x, train)
+        return nn.relu(x)
+
+
+class InterpolationUpsampler(nn.Module):
+    """Bilinear-upsampling decoder (``InterpolationUpsampler``, :315-344).
+
+    Present in the reference API surface but NOT the active decoder
+    (:438-439); provided for full capability parity.  PyTorch-default init
+    (its ``__init_weight`` is never called).
+    """
+
+    n_classes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, low_level_features, input_hw, train: bool):
+        h, w = input_hw
+        quarter = (-(-h // 4), -(-w // 4))  # ceil(H/4), ceil(W/4)
+        x = resize_bilinear_align_corners(x, quarter)
+        x = jnp.concatenate([x, low_level_features], axis=-1)
+        x = Conv2d(
+            256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv0",
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn0")(x, train)
+        x = nn.relu(x)
+        x = Conv2d(
+            256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = Conv2d(
+            self.n_classes, 1, use_bias=True,
+            kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv2",
+        )(x)
+        return resize_bilinear_align_corners(x, (h, w))
+
+
+class DeconvUpsampler(nn.Module):
+    """Transposed-convolution decoder — the active one (``DeconvUpsampler``,
+    :347-383).  Four exact-×2 deconvs (k3 s2 p1 op1); the 304→256 refinement
+    stack sits between deconv2 and deconv3; the final deconv has no BN/bias.
+    PyTorch-default init throughout (``__init_weight`` never called)."""
+
+    n_classes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, low_level_features, input_hw, train: bool):
+        x = ConvTranspose2d(256, dtype=self.dtype, name="deconv1")(x)
+        x = BatchNorm2d(dtype=self.dtype, name="deconv1_bn")(x, train)
+        x = nn.relu(x)
+        x = ConvTranspose2d(256, dtype=self.dtype, name="deconv2")(x)
+        x = BatchNorm2d(dtype=self.dtype, name="deconv2_bn")(x, train)
+        x = nn.relu(x)
+
+        x = jnp.concatenate([x, low_level_features], axis=-1)  # 256+48=304
+        x = Conv2d(
+            256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv0",
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn0")(x, train)
+        x = nn.relu(x)
+        x = Conv2d(
+            256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)
+        # 1x1 conv with bias (torch default bias=True at :366)
+        x = Conv2d(
+            256, 1, use_bias=True, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv2",
+        )(x)
+
+        x = ConvTranspose2d(256, dtype=self.dtype, name="deconv3")(x)
+        x = BatchNorm2d(dtype=self.dtype, name="deconv3_bn")(x, train)
+        x = nn.relu(x)
+        x = ConvTranspose2d(self.n_classes, dtype=self.dtype, name="last_deconv")(x)
+        return x
+
+
+class DeepLabv3plus(nn.Module):
+    """DeepLabV3+ with modified aligned Xception encoder
+    (``DeepLabv3_plus``, :398-465).
+
+    Input NHWC ``(N, 768, 1152, 16)`` → logits ``(N, 768, 1152, n_classes)``.
+    ``decoder='deconv'`` is the reference's active path; ``'interpolation'``
+    mirrors the dormant alternative.
+    """
+
+    n_classes: int = 3
+    output_stride: int = 16
+    decoder: str = "deconv"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        input_hw = x.shape[1:3]
+        x = x.astype(self.dtype)
+        feats, low_level = Xception(
+            output_stride=self.output_stride, dtype=self.dtype, name="xception"
+        )(x, train)
+
+        if self.output_stride == 16:
+            rates = (1, 6, 12, 18)
+        elif self.output_stride == 8:
+            rates = (1, 12, 24, 36)
+        else:
+            raise NotImplementedError
+
+        branches = [
+            ASPPModule(256, rate=r, dtype=self.dtype, name=f"aspp{i+1}")(feats, train)
+            for i, r in enumerate(rates)
+        ]
+
+        # Global-average-pool branch: mean over HW (fp32) → 1x1 conv → BN →
+        # ReLU → align-corners bilinear up (from 1x1 this is a broadcast).
+        # PyTorch-default init (module defined outside Xception/ASPP, :425-428).
+        gap = jnp.mean(feats.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        gap = gap.astype(self.dtype)
+        gap = Conv2d(
+            256, 1, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="gap_conv",
+        )(gap)
+        gap = BatchNorm2d(dtype=self.dtype, name="gap_bn")(gap, train)
+        gap = nn.relu(gap)
+        gap = resize_bilinear_align_corners(gap, branches[-1].shape[1:3])
+        branches.append(gap)
+
+        x = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280
+        x = Conv2d(
+            256, 1, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)
+
+        low = Conv2d(
+            48, 1, kernel_init=torch_default_conv_kernel_init(),
+            dtype=self.dtype, name="conv2",
+        )(low_level)
+        low = BatchNorm2d(dtype=self.dtype, name="bn2")(low, train)
+        low = nn.relu(low)
+
+        if self.decoder == "deconv":
+            out = DeconvUpsampler(self.n_classes, dtype=self.dtype, name="upsample")(
+                x, low, input_hw, train
+            )
+        elif self.decoder == "interpolation":
+            out = InterpolationUpsampler(
+                self.n_classes, dtype=self.dtype, name="upsample"
+            )(x, low, input_hw, train)
+        else:
+            raise ValueError(f"unknown decoder {self.decoder!r}")
+
+        # Logits in fp32 for a numerically robust softmax/loss.
+        return out.astype(jnp.float32)

@@ -1,0 +1,396 @@
+"""Core NN layers for the TPU-native DeepCAM stack.
+
+Everything here is laid out TPU-first:
+
+* Activations are **NHWC** (channels-last = TPU lane dimension) and kernels are
+  **HWIO** — the native layouts for XLA:TPU convolutions.  The reference
+  (PyTorch, ``/root/reference/src/deepCam/architecture/deeplab_xception.py``)
+  uses NCHW/OIHW; we do NOT mirror that.
+* Mixed precision: parameters and BatchNorm statistics live in fp32, conv
+  compute runs in a configurable ``dtype`` (bf16 by default on TPU) —  the
+  functional analogue of the reference's apex-AMP O1
+  (``train_hdf5_ddp.py:222-224``) without loss scaling, which bf16 does not
+  need.
+* Initializers reproduce the *semantics* of the reference init scheme:
+  - ``kaiming_normal_torch``: ``torch.nn.init.kaiming_normal_`` defaults
+    (fan_in, gain=sqrt(2)), used by the Xception/ASPP ``__init_weight``
+    (``deeplab_xception.py:244-252,304-312``).
+  - ``torch_default_conv_kernel_init`` / ``torch_default_bias_init``: the
+    PyTorch *default* ``Conv2d``/``ConvTranspose2d`` reset_parameters
+    (kaiming_uniform(a=sqrt(5)) → U(-1/sqrt(fan_in), 1/sqrt(fan_in))), which is
+    what the decoder and the DeepLab projection convs actually get in the
+    reference because their ``__init_weight`` methods are name-mangled and
+    never invoked (``deeplab_xception.py:385-395,472-480``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+Array = jax.Array
+Dtype = Any
+PaddingLike = Union[str, int, Sequence[Tuple[int, int]]]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-semantics, HWIO kernel layout)
+# ---------------------------------------------------------------------------
+
+def kaiming_normal_torch() -> Callable:
+    """torch.nn.init.kaiming_normal_ with defaults (fan_in, leaky_relu a=0).
+
+    For an HWIO kernel ``(kh, kw, in_per_group, out)`` torch's fan_in is
+    ``in_per_group * kh * kw`` (flax grouped-conv kernels store exactly
+    ``in/groups`` on axis 2, so this matches depthwise convs too).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, in_pg, _ = shape
+        fan_in = in_pg * kh * kw
+        std = math.sqrt(2.0 / fan_in)
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def torch_default_conv_kernel_init() -> Callable:
+    """PyTorch default Conv2d kernel init: kaiming_uniform(a=sqrt(5)).
+
+    bound = sqrt(6 / ((1 + 5) * fan_in)) = 1/sqrt(fan_in).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, in_pg, _ = shape
+        fan_in = in_pg * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_default_convT_kernel_init() -> Callable:
+    """PyTorch default ConvTranspose2d kernel init.
+
+    Torch's ConvTranspose2d weight has shape (in, out/groups, kh, kw), so
+    ``_calculate_fan_in_and_fan_out`` reads fan_in = (out/groups) * kh * kw.
+    Our transposed-conv kernel is HWIO ``(kh, kw, in, out)`` → fan_in uses the
+    OUT axis to match.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, _, out = shape
+        fan_in = out * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_default_bias_init(fan_in: int) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+def _to_pair(v) -> Tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)
+
+
+def conv2d(
+    x: Array,
+    kernel: Array,
+    *,
+    stride=1,
+    padding: PaddingLike = 0,
+    dilation=1,
+    groups: int = 1,
+    compute_dtype: Optional[Dtype] = None,
+) -> Array:
+    """NHWC/HWIO conv wrapper over lax.conv_general_dilated."""
+    stride = _to_pair(stride)
+    dilation = _to_pair(dilation)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class Conv2d(nn.Module):
+    """Plain conv, torch-Conv2d-compatible semantics in NHWC/HWIO.
+
+    Mirrors capability of ``nn.Conv2d`` uses in the reference model
+    (``deeplab_xception.py:31-42,145-149,291-292,425-435``).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: PaddingLike = 0
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = False
+    kernel_init: Callable = kaiming_normal_torch()
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = _to_pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0, (in_ch, self.groups)
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (kh, kw, in_ch // self.groups, self.features),
+            self.param_dtype,
+        )
+        y = conv2d(
+            x,
+            kernel,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+            compute_dtype=self.dtype,
+        )
+        if self.use_bias:
+            fan_in = (in_ch // self.groups) * kh * kw
+            bias = self.param(
+                "bias", torch_default_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d(k, s, p, output_padding).
+
+    Implemented the XLA way: an input-dilated (lhs_dilation) conv with a
+    spatially flipped HWIO kernel and padding (k-1-p, k-1-p+op).  For the
+    decoder's k=3, s=2, p=1, op=1 this is an exact ×2 upsample, matching the
+    reference deconvs (``deeplab_xception.py:352-374``).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 2
+    padding: Union[int, Tuple[int, int]] = 1
+    output_padding: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = False
+    kernel_init: Callable = torch_default_convT_kernel_init()
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = _to_pair(self.kernel_size)
+        sh, sw = _to_pair(self.stride)
+        ph, pw = _to_pair(self.padding)
+        oph, opw = _to_pair(self.output_padding)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, in_ch, self.features), self.param_dtype
+        )
+        k = jnp.flip(kernel, axis=(0, 1))
+        pad = ((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw))
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=pad,
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = self.features * kh * kw
+            bias = self.param(
+                "bias", torch_default_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def fixed_padding(kernel_size: int, rate: int) -> Tuple[int, int]:
+    """Reference 'same' padding: effective kernel k + (k-1)(rate-1), split
+    floor/ceil (``deeplab_xception.py:45-51``).  Returns (pad_beg, pad_end)."""
+    k_eff = kernel_size + (kernel_size - 1) * (rate - 1)
+    pad_total = k_eff - 1
+    pad_beg = pad_total // 2
+    pad_end = pad_total - pad_beg
+    return pad_beg, pad_end
+
+
+class SeparableConv2d(nn.Module):
+    """Depthwise (groups=in) 3x3 + pointwise 1x1, both bias-free by default.
+
+    Parity with ``SeparableConv2d`` (``deeplab_xception.py:31-42``).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = False
+    kernel_init: Callable = kaiming_normal_torch()
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        x = Conv2d(
+            features=in_ch,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=in_ch,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="depthwise",
+        )(x)
+        x = Conv2d(
+            features=self.features,
+            kernel_size=1,
+            stride=1,
+            padding=0,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="pointwise",
+        )(x)
+        return x
+
+
+class SeparableConv2dSame(nn.Module):
+    """SeparableConv2d with the reference's explicit asymmetric 'same' padding
+    (``SeparableConv2d_same``, ``deeplab_xception.py:54-66``)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    kernel_init: Callable = kaiming_normal_torch()
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        pad = fixed_padding(self.kernel_size, self.dilation)
+        x = Conv2d(
+            features=in_ch,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=(pad, pad),
+            dilation=self.dilation,
+            groups=in_ch,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="depthwise",
+        )(x)
+        x = Conv2d(
+            features=self.features,
+            kernel_size=1,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="pointwise",
+        )(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm with torch semantics
+# ---------------------------------------------------------------------------
+
+class BatchNorm2d(nn.Module):
+    """BatchNorm over NHW with torch-parity running statistics.
+
+    Differences from flax.linen.BatchNorm, chosen to match
+    ``torch.nn.BatchNorm2d`` defaults used throughout the reference model:
+
+    * ``momentum`` follows the torch convention:
+      ``new = (1 - momentum) * old + momentum * batch`` with default 0.1.
+    * Running **variance** is updated with the *unbiased* batch variance
+      (``n/(n-1)`` correction) while normalization uses the biased one —
+      exactly what torch does.
+    * Statistics are always computed in fp32 regardless of compute dtype
+      (apex-O1-like behavior).
+    * Optional ``axis_name`` turns this into a cross-device sync-BN (a TPU
+      extension; the reference's DDP never syncs BN stats, so leave it None
+      for parity).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if train:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            if self.axis_name is not None:
+                mean = lax.pmean(mean, self.axis_name)
+                mean_sq = lax.pmean(mean_sq, self.axis_name)
+                n = n * lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
+
+        inv = lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
+        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
+        return y.astype(self.dtype)

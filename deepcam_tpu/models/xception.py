@@ -1,0 +1,210 @@
+"""Modified aligned Xception backbone, TPU-native (NHWC, bf16 compute).
+
+Architecture parity with the reference backbone
+(``/root/reference/src/deepCam/architecture/deeplab_xception.py:69-242``):
+entry flow (2 convs + 3 down-sampling blocks), 16 identical 728-channel middle
+blocks, exit flow (block20 + three dilated separable convs to 2048 channels).
+The low-level feature tap is taken after block1 (128 ch, stride 4), matching
+``deeplab_xception.py:205-206``.
+
+Design notes (TPU-first, not a translation):
+* everything is channels-last; the 728-channel middle flow maps the pointwise
+  1x1 convs onto the MXU as (H*W, C) x (C, C) matmuls.
+* the residual add and ReLUs are left to XLA fusion.
+* ``jax.checkpoint``-friendly: the middle flow is expressed as a scan-free
+  sequence of named blocks; remat policy is applied by the trainer, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    BatchNorm2d,
+    Conv2d,
+    SeparableConv2dSame,
+    kaiming_normal_torch,
+)
+
+Dtype = Any
+
+
+class XceptionBlock(nn.Module):
+    """Xception residual block (parity: ``Block``, ``deeplab_xception.py:69-122``).
+
+    Semantics reproduced exactly:
+      * rep sequence of [ReLU, sepconv-same, BN] units; the first ReLU is
+        dropped when ``start_with_relu=False``;
+      * ``grow_first`` controls whether the channel growth happens in the
+        first or the last unit;
+      * stride != 1 appends a *bare* stride-2 separable conv (no BN/ReLU);
+        stride == 1 and ``is_last`` appends a bare stride-1 separable conv;
+      * skip path is 1x1-conv+BN when channels or stride change, identity
+        otherwise; output = rep(x) + skip(x) with no trailing ReLU.
+    """
+
+    out_ch: int
+    reps: int
+    stride: int = 1
+    dilation: int = 1
+    start_with_relu: bool = True
+    grow_first: bool = True
+    is_last: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_ch = x.shape[-1]
+        inp = x
+
+        # Build the unit list exactly like the reference constructor.
+        units = []  # (out_features,)
+        if self.grow_first:
+            units.append(self.out_ch)
+            filters = self.out_ch
+        else:
+            filters = in_ch
+        for _ in range(self.reps - 1):
+            units.append(filters)
+        if not self.grow_first:
+            units.append(self.out_ch)
+
+        for i, feat in enumerate(units):
+            if not (i == 0 and not self.start_with_relu):
+                x = nn.relu(x)
+            x = SeparableConv2dSame(
+                features=feat,
+                kernel_size=3,
+                stride=1,
+                dilation=self.dilation,
+                dtype=self.dtype,
+                name=f"sepconv{i}",
+            )(x)
+            x = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(x, train)
+
+        if self.stride != 1:
+            x = SeparableConv2dSame(
+                features=self.out_ch,
+                kernel_size=3,
+                stride=2,
+                dtype=self.dtype,
+                name="sepconv_stride",
+            )(x)
+        elif self.is_last:
+            x = SeparableConv2dSame(
+                features=self.out_ch,
+                kernel_size=3,
+                stride=1,
+                dtype=self.dtype,
+                name="sepconv_last",
+            )(x)
+
+        if self.out_ch != in_ch or self.stride != 1:
+            skip = Conv2d(
+                features=self.out_ch,
+                kernel_size=1,
+                stride=self.stride,
+                kernel_init=kaiming_normal_torch(),
+                dtype=self.dtype,
+                name="skip_conv",
+            )(inp)
+            skip = BatchNorm2d(dtype=self.dtype, name="skip_bn")(skip, train)
+        else:
+            skip = inp
+
+        return x + skip
+
+
+class Xception(nn.Module):
+    """Modified aligned Xception encoder (``deeplab_xception.py:125-242``).
+
+    Returns ``(features_2048 @ stride os, low_level_features_128 @ stride 4)``.
+    """
+
+    output_stride: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.output_stride == 16:
+            entry_block3_stride = 2
+            middle_block_rate = 1
+            exit_block_rates = (1, 2)
+        elif self.output_stride == 8:
+            entry_block3_stride = 1
+            middle_block_rate = 2
+            exit_block_rates = (2, 4)
+        else:
+            raise NotImplementedError(
+                f"output_stride {self.output_stride} not supported"
+            )
+
+        # Entry flow
+        x = Conv2d(32, 3, stride=2, padding=1, dtype=self.dtype, name="conv1")(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = Conv2d(64, 3, stride=1, padding=1, dtype=self.dtype, name="conv2")(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn2")(x, train)
+        x = nn.relu(x)
+
+        x = XceptionBlock(
+            128, reps=2, stride=2, start_with_relu=False, dtype=self.dtype, name="block1"
+        )(x, train)
+        low_level_feat = x
+        x = XceptionBlock(256, reps=2, stride=2, dtype=self.dtype, name="block2")(
+            x, train
+        )
+        x = XceptionBlock(
+            728,
+            reps=2,
+            stride=entry_block3_stride,
+            is_last=True,
+            dtype=self.dtype,
+            name="block3",
+        )(x, train)
+
+        # Middle flow: 16 identical blocks (block4..block19)
+        for i in range(4, 20):
+            x = XceptionBlock(
+                728,
+                reps=3,
+                stride=1,
+                dilation=middle_block_rate,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train)
+
+        # Exit flow
+        x = XceptionBlock(
+            1024,
+            reps=2,
+            stride=1,
+            dilation=exit_block_rates[0],
+            grow_first=False,
+            is_last=True,
+            dtype=self.dtype,
+            name="block20",
+        )(x, train)
+
+        x = SeparableConv2dSame(
+            1536, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv3"
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train)
+        x = nn.relu(x)
+
+        x = SeparableConv2dSame(
+            1536, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv4"
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train)
+        x = nn.relu(x)
+
+        x = SeparableConv2dSame(
+            2048, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv5"
+        )(x)
+        x = BatchNorm2d(dtype=self.dtype, name="bn5")(x, train)
+        x = nn.relu(x)
+
+        return x, low_level_feat

@@ -1,0 +1,62 @@
+"""Evaluation metrics.
+
+Parity target: ``/root/reference/src/deepCam/utils/utils.py:32-60``
+(``compute_score``): per-class tp/fp/fn from argmax predictions, class IoU =
+tp/(tp+fp+fn) with the convention that an *empty union scores 1.0*, and the
+score is the unweighted mean over classes.
+
+TPU-first: instead of boolean masks + per-class Python loops on device, the
+confusion matrix is computed with a one-hot ⊗ one-hot contraction
+(``(P, C) x (P, C') -> (C, C')``) that runs on the MXU, then tp/fp/fn are read
+off the matrix.  All shapes static; jit/shard_map friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def confusion_matrix(
+    predictions: jax.Array, labels: jax.Array, num_classes: int
+) -> jax.Array:
+    """(num_classes, num_classes) confusion matrix; rows = label class,
+    cols = predicted class.  Inputs are integer arrays of any (equal) shape."""
+    p = predictions.reshape(-1).astype(jnp.int32)
+    t = labels.reshape(-1).astype(jnp.int32)
+    onehot_t = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
+    onehot_p = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+    return jnp.einsum("pc,pd->cd", onehot_t, onehot_p)
+
+
+def iou_from_confusion(cm: jax.Array) -> jax.Array:
+    """Mean IoU with the reference's empty-union→1.0 convention."""
+    tp = jnp.diagonal(cm)
+    fn = jnp.sum(cm, axis=1) - tp  # label == j, pred != j
+    fp = jnp.sum(cm, axis=0) - tp  # pred == j, label != j
+    union = tp + fp + fn
+    iou = jnp.where(union > 0, tp / jnp.where(union > 0, union, 1.0), 1.0)
+    return jnp.mean(iou)
+
+
+def compute_score(
+    predictions: jax.Array, labels: jax.Array, num_classes: int = 3
+) -> jax.Array:
+    """Mean IoU over classes for a (batched) prediction/label pair, treating
+    the whole input as one sample — semantics of ``utils.compute_score``."""
+    return iou_from_confusion(confusion_matrix(predictions, labels, num_classes))
+
+
+def per_sample_iou(
+    predictions: jax.Array, labels: jax.Array, num_classes: int = 3
+) -> jax.Array:
+    """(N,) per-sample mean IoU.
+
+    The reference's validation loop runs batch-size-1 and averages per-sample
+    IoUs (train_hdf5_ddp.py:301-306,458-460,490-494) — NOT a global confusion
+    matrix.  vmapping the per-sample score lets us keep that exact semantics
+    at TPU-friendly batch sizes.
+    """
+    return jax.vmap(lambda p, t: compute_score(p, t, num_classes))(
+        predictions, labels
+    )

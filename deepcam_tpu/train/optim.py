@@ -1,0 +1,50 @@
+"""Optimizers with reference-parity semantics, built on optax.
+
+Parity target: ``/root/reference/src/deepCam/train_hdf5_ddp.py:212-220``:
+``Adam`` (torch, *coupled* L2 weight decay), ``AdamW`` (decoupled), and
+``LAMB`` (apex FusedLAMB) selected by flag, all with lr/eps/wd from the CLI.
+
+The TPU-native replacement for apex's fused CUDA optimizers is simply optax
+inside the jitted train step — XLA fuses the elementwise update chains into a
+handful of kernels, so there is nothing to hand-fuse.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import optax
+
+ScalarOrSchedule = Union[float, Callable]
+
+
+def build_optimizer(
+    name: str,
+    learning_rate: ScalarOrSchedule,
+    eps: float = 1e-8,
+    weight_decay: float = 1e-6,
+) -> optax.GradientTransformation:
+    """Create the optimizer named by the reference CLI flag ``--optimizer``.
+
+    * ``Adam``  → Adam with *coupled* (L2) weight decay, matching
+      ``torch.optim.Adam(weight_decay=wd)``: wd*p is added to the gradient
+      before the moment updates.
+    * ``AdamW`` → decoupled weight decay (torch.optim.AdamW / optax.adamw).
+    * ``LAMB``  → layerwise-adaptive trust-ratio Adam (apex FusedLAMB
+      semantics; optax.lamb) for large-batch scaling.
+    """
+    if name == "Adam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=eps),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    if name == "AdamW":
+        return optax.adamw(
+            learning_rate, b1=0.9, b2=0.999, eps=eps, weight_decay=weight_decay
+        )
+    if name == "LAMB":
+        return optax.lamb(
+            learning_rate, b1=0.9, b2=0.999, eps=eps, weight_decay=weight_decay
+        )
+    raise NotImplementedError(f"Error, optimizer {name} not supported")

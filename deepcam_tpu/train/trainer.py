@@ -1,0 +1,176 @@
+"""Jitted, sharded train/eval steps — the TPU-native replacement for the
+reference's eager DDP hot loop (``train_hdf5_ddp.py:339-531``).
+
+Design (SURVEY.md §7, "How to Scale Your Model" recipe):
+
+* one ``shard_map`` over a ``Mesh('data', 'spatial')``; each device computes
+  on its local batch shard, gradients are ``lax.pmean``-reduced over the data
+  axis (the explicit form of DDP's bucketed allreduce — XLA schedules the
+  collectives to overlap with remaining backward compute);
+* BatchNorm statistics are **local per device** inside ``shard_map`` — the
+  exact semantics of the reference's DDP (which never syncs BN).  The
+  *running* stats are pmean'd so the replicated state stays consistent
+  (the reference checkpoints rank 0's; an average is the deterministic
+  single-controller analogue);
+* parameters/optimizer state are replicated; the whole state is donated, so
+  XLA updates it in place in HBM;
+* loss/IoU scalar reductions happen inside the same compiled step — no extra
+  host round trips (reference does separate ``dist.reduce`` calls,
+  :398-410);
+* eval keeps the reference's *per-sample* IoU-averaging semantics
+  (:430-494) with a validity mask so TPU-friendly fixed batch shapes can
+  cover an uneven validation set exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .losses import weighted_ce_loss
+from .metrics import compute_score, per_sample_iou
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    class_weights: Sequence[float],
+    mesh: Mesh,
+    fpw_1: float = 0.0,
+    fpw_2: float = 0.0,
+    remat: bool = False,
+):
+    """Build the compiled training step.
+
+    Returns ``step_fn(state, x, y) -> (state, metrics)`` where ``x`` is the
+    global NHWC batch (sharded over the mesh data axis), ``y`` the labels,
+    and metrics = {'loss', 'iou'} are globally averaged scalars (parity with
+    the logging-step reductions at train_hdf5_ddp.py:398-410).
+    """
+
+    apply_fn = model.apply
+    if remat:
+        apply_fn = jax.checkpoint(
+            model.apply, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+
+    def loss_fn(params, batch_stats, x, y):
+        logits, updates = apply_fn(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss = weighted_ce_loss(logits, y, class_weights, fpw_1, fpw_2)
+        return loss, (logits, updates["batch_stats"])
+
+    def local_step(state: TrainState, x, y):
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, x, y)
+
+        # DDP-equivalent gradient averaging over the data axis (ICI).
+        grads = lax.pmean(grads, "data")
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # Keep replicated state consistent across devices.
+        new_bs = lax.pmean(new_bs, "data")
+
+        preds = jnp.argmax(logits, axis=-1)
+        iou = compute_score(preds, y, num_classes=logits.shape[-1])
+
+        metrics = {
+            "loss": lax.pmean(loss, "data"),
+            "iou": lax.pmean(iou, "data"),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(
+    model,
+    class_weights: Sequence[float],
+    mesh: Mesh,
+    fpw_1: float = 0.0,
+    fpw_2: float = 0.0,
+):
+    """Build the compiled eval step.
+
+    ``eval_fn(state, x, y, valid) -> (count, loss_sum, iou_sum)`` — globally
+    psum'd over the mesh, one entry per *sample* (reference batch-1 eval
+    semantics, train_hdf5_ddp.py:430-494).  ``valid`` is a per-sample {0,1}
+    mask so fixed-shape padded batches count each real sample exactly once.
+    """
+
+    def local_eval(params, batch_stats, x, y, valid):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        n_classes = logits.shape[-1]
+
+        # per-sample pixel-mean weighted CE (batch-1 loss semantics)
+        def sample_loss(lg, lb):
+            return weighted_ce_loss(lg, lb, class_weights, fpw_1, fpw_2)
+
+        losses = jax.vmap(sample_loss)(logits, y)
+        preds = jnp.argmax(logits, axis=-1)
+        ious = per_sample_iou(preds, y, n_classes)
+
+        v = valid.astype(jnp.float32)
+        count = lax.psum(jnp.sum(v), ("data", "spatial"))
+        loss_sum = lax.psum(jnp.sum(losses * v), ("data", "spatial"))
+        iou_sum = lax.psum(jnp.sum(ious * v), ("data", "spatial"))
+        return count, loss_sum, iou_sum
+
+    sharded = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def eval_fn(state: TrainState, x, y, valid):
+        return sharded(state.params, state.batch_stats, x, y, valid)
+
+    return jax.jit(eval_fn)

@@ -1,0 +1,164 @@
+"""Golden tests: our NHWC/HWIO layers vs torch functional ops (CPU).
+
+These tests do not use any reference code — they check our primitives against
+the *framework* semantics (torch.nn.functional) the reference relies on, with
+identical weights loaded both ways.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from deepcam_tpu.models.layers import (
+    BatchNorm2d,
+    Conv2d,
+    ConvTranspose2d,
+    SeparableConv2dSame,
+    fixed_padding,
+)
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)).copy())
+
+
+def _to_oihw(k_hwio):
+    # HWIO -> OIHW
+    return torch.from_numpy(np.transpose(k_hwio, (3, 2, 0, 1)).copy())
+
+
+@pytest.mark.parametrize(
+    "in_ch,out_ch,k,stride,pad,dil,groups",
+    [
+        (16, 32, 3, 2, 1, 1, 1),   # entry conv1
+        (8, 8, 3, 1, 1, 1, 8),     # depthwise
+        (8, 24, 1, 1, 0, 1, 1),    # pointwise
+        (12, 6, 3, 1, 2, 2, 1),    # dilated
+    ],
+)
+def test_conv2d_matches_torch(in_ch, out_ch, k, stride, pad, dil, groups):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 12, 16, in_ch).astype(np.float32)
+    mod = Conv2d(
+        features=out_ch, kernel_size=k, stride=stride, padding=pad,
+        dilation=dil, groups=groups,
+    )
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    kernel = np.asarray(params["params"]["kernel"])
+
+    y = np.asarray(mod.apply(params, jnp.asarray(x)))
+    y_t = F.conv2d(
+        _nchw(x), _to_oihw(kernel), stride=stride, padding=pad,
+        dilation=dil, groups=groups,
+    ).numpy()
+    np.testing.assert_allclose(y, np.transpose(y_t, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("in_ch,out_ch", [(8, 8), (8, 3)])
+def test_conv_transpose_matches_torch(in_ch, out_ch):
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 6, 9, in_ch).astype(np.float32)
+    mod = ConvTranspose2d(features=out_ch)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    kernel = np.asarray(params["params"]["kernel"])  # HWIO (kh,kw,in,out)
+
+    y = np.asarray(mod.apply(params, jnp.asarray(x)))
+    # torch ConvTranspose2d weight layout: (in, out, kh, kw)
+    w_t = torch.from_numpy(np.transpose(kernel, (2, 3, 0, 1)).copy())
+    y_t = F.conv_transpose2d(
+        _nchw(x), w_t, stride=2, padding=1, output_padding=1
+    ).numpy()
+    assert y.shape == (2, 12, 18, out_ch)
+    np.testing.assert_allclose(y, np.transpose(y_t, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,dil", [(1, 1), (2, 1), (1, 2)])
+def test_separable_conv_same_matches_torch(stride, dil):
+    """fixed_padding + depthwise + pointwise vs torch F.pad + conv2d
+    (reference SeparableConv2d_same semantics, deeplab_xception.py:54-66)."""
+    in_ch, out_ch = 8, 16
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 10, 14, in_ch).astype(np.float32)
+    mod = SeparableConv2dSame(features=out_ch, stride=stride, dilation=dil)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    kd = np.asarray(params["params"]["depthwise"]["kernel"])
+    kp = np.asarray(params["params"]["pointwise"]["kernel"])
+
+    y = np.asarray(mod.apply(params, jnp.asarray(x)))
+
+    beg, end = fixed_padding(3, dil)
+    xt = F.pad(_nchw(x), (beg, end, beg, end))
+    yt = F.conv2d(xt, _to_oihw(kd), stride=stride, dilation=dil, groups=in_ch)
+    yt = F.conv2d(yt, _to_oihw(kp)).numpy()
+    np.testing.assert_allclose(y, np.transpose(yt, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4)
+
+
+def test_batchnorm_train_and_eval_match_torch():
+    rng = np.random.RandomState(3)
+    c = 8
+    x1 = rng.randn(4, 5, 7, c).astype(np.float32) * 2 + 1
+    x2 = rng.randn(4, 5, 7, c).astype(np.float32)
+
+    mod = BatchNorm2d()
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x1), train=False)
+    # randomize scale/bias
+    scale = rng.randn(c).astype(np.float32)
+    bias = rng.randn(c).astype(np.float32)
+    variables = {
+        "params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+        "batch_stats": variables["batch_stats"],
+    }
+
+    bn_t = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        bn_t.weight.copy_(torch.from_numpy(scale))
+        bn_t.bias.copy_(torch.from_numpy(bias))
+
+    # two training steps: outputs and running stats must track torch
+    state = variables
+    for x in (x1, x2):
+        y, updates = mod.apply(state, jnp.asarray(x), train=True, mutable=["batch_stats"])
+        state = {"params": state["params"], "batch_stats": updates["batch_stats"]}
+        bn_t.train()
+        y_t = bn_t(_nchw(x)).detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(y), np.transpose(y_t, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(state["batch_stats"]["mean"]),
+        bn_t.running_mean.numpy(), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["batch_stats"]["var"]),
+        bn_t.running_var.numpy(), rtol=1e-5, atol=1e-5,
+    )
+
+    # eval mode uses running stats
+    bn_t.eval()
+    y_eval = np.asarray(mod.apply(state, jnp.asarray(x1), train=False))
+    y_eval_t = bn_t(_nchw(x1)).detach().numpy()
+    np.testing.assert_allclose(
+        y_eval, np.transpose(y_eval_t, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_resize_align_corners_matches_torch():
+    from deepcam_tpu.ops.interpolate import resize_bilinear_align_corners
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 6, 9, 5).astype(np.float32)
+    for size in [(12, 18), (24, 36), (5, 7), (6, 9)]:
+        y = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), size))
+        y_t = F.interpolate(_nchw(x), size=size, mode="bilinear", align_corners=True)
+        np.testing.assert_allclose(
+            y, np.transpose(y_t.numpy(), (0, 2, 3, 1)), rtol=1e-4, atol=1e-4
+        )
+    # 1x1 broadcast path (ASPP global-pool branch)
+    x1 = rng.randn(2, 1, 1, 5).astype(np.float32)
+    y = np.asarray(resize_bilinear_align_corners(jnp.asarray(x1), (4, 6)))
+    y_t = F.interpolate(_nchw(x1), size=(4, 6), mode="bilinear", align_corners=True)
+    np.testing.assert_allclose(y, np.transpose(y_t.numpy(), (0, 2, 3, 1)), rtol=1e-5, atol=1e-5)

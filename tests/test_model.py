@@ -1,0 +1,101 @@
+"""Full-model structure tests: shapes, parameter counts, dtype policy.
+
+Shapes use a small (64, 96) tile — same aspect ratio class as (768, 1152) and
+divisible by 16 — so CPU tests stay fast.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcam_tpu.models.deeplab import DeepLabv3plus
+
+
+def _param_count(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = DeepLabv3plus(n_classes=3, output_stride=16, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(333), x, train=False)
+    return model, variables
+
+
+def test_output_shape(model_and_vars):
+    model, variables = model_and_vars
+    x = jnp.zeros((2, 64, 96, 16), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 64, 96, 3)
+    assert y.dtype == jnp.float32
+
+
+def test_param_count_matches_reference(model_and_vars):
+    """Reference model has 56,454,440 trainable parameters for
+    n_input=16, n_classes=3, os=16 (hand-derivable from the layer inventory in
+    SURVEY.md §2.3.8; backbone ≈37.8M, ASPP+projections ≈15.5M, decoder ≈3.1M)."""
+    _, variables = model_and_vars
+    n_params = _param_count(variables["params"])
+    # BN scale/bias live in params; running stats in batch_stats.
+    assert 56_000_000 < n_params < 57_000_000, n_params
+
+
+def test_low_level_channels_and_tap(model_and_vars):
+    _, variables = model_and_vars
+    params = variables["params"]
+    # low-level projection consumes block1's 128 channels
+    assert params["conv2"]["kernel"].shape == (1, 1, 128, 48)
+    # ASPP projection consumes 5*256 = 1280 channels
+    assert params["conv1"]["kernel"].shape == (1, 1, 1280, 256)
+    # decoder concat 256 + 48 = 304
+    assert params["upsample"]["conv0"]["kernel"].shape == (3, 3, 304, 256)
+    # decoder 1x1 has a bias (torch default), last deconv has none
+    assert "bias" in params["upsample"]["conv2"]
+    assert "bias" not in params["upsample"]["last_deconv"]
+    # middle flow blocks exist: block4..block19
+    for i in range(4, 20):
+        assert f"block{i}" in params["xception"]
+
+
+def test_batch_stats_update(model_and_vars):
+    model, variables = model_and_vars
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 96, 16), jnp.float32)
+    y, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 64, 96, 3)
+    # running stats must have changed
+    old = variables["batch_stats"]["xception"]["bn1"]["mean"]
+    new = updates["batch_stats"]["xception"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_os8_variant():
+    # The deconv decoder geometrically requires stride-16 features (as in the
+    # reference, which only ever runs os=16 — train_hdf5_ddp.py:199); os=8 is
+    # exercised with the interpolation decoder.
+    model = DeepLabv3plus(
+        n_classes=3, output_stride=8, decoder="interpolation", dtype=jnp.float32
+    )
+    x = jnp.zeros((1, 64, 96, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 64, 96, 3)
+
+
+def test_interpolation_decoder():
+    model = DeepLabv3plus(n_classes=3, decoder="interpolation", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 64, 96, 3)
+
+
+def test_bf16_compute_fp32_params():
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 96, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    y = model.apply(variables, x, train=False)
+    assert y.dtype == jnp.float32  # logits cast back for the loss
