@@ -1,0 +1,87 @@
+"""DeepCAM-TPU headline benchmark: training throughput (samples/sec/chip).
+
+Runs the full DeepLabV3+ training step (fwd + bwd + optimizer, bf16 compute)
+on full-resolution (768, 1152, 16) synthetic batches on the available TPU
+chip(s) and prints ONE JSON line:
+
+    {"metric": "train_samples_per_sec_per_chip", "value": N,
+     "unit": "samples/s/chip", "vs_baseline": R}
+
+The reference repo publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` is reported against the recorded target in BENCH_BASELINE
+below once one exists; until then it is 1.0 by definition of "our own
+baseline".
+"""
+
+import json
+import sys
+import time
+
+# Our own north-star number to beat (samples/s/chip); updated as rounds land.
+BENCH_BASELINE = None
+
+LOCAL_BATCH = 2  # reference per-GPU batch (run_training_dgx2.sh:70)
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcam_tpu.core import mesh as meshlib
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+    from deepcam_tpu.train.losses import FPW_1, FPW_2, class_weights
+    from deepcam_tpu.train.optim import build_optimizer
+    from deepcam_tpu.train.trainer import create_train_state, make_train_step
+
+    n_chips = jax.device_count()
+    mesh = meshlib.make_mesh(spatial=1)
+
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 768, 1152, 16), jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init(r, x0, train=False)
+    )(jax.random.PRNGKey(333))
+    tx = build_optimizer("AdamW", 1e-3, eps=1e-8, weight_decay=1e-2)
+    state = create_train_state(model, variables, tx)
+    del variables
+    state = jax.device_put(state, meshlib.replicated(mesh))
+
+    step_fn = make_train_step(
+        model, tx, list(class_weights()), mesh, fpw_1=FPW_1, fpw_2=FPW_2
+    )
+
+    batch = LOCAL_BATCH * n_chips
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 768, 1152, 16).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, size=(batch, 768, 1152)).astype(np.int32))
+    x = jax.device_put(x, meshlib.batch_sharding(mesh))
+    y = jax.device_put(y, meshlib.batch_sharding(mesh))
+
+    # NOTE: synchronization is via a host scalar fetch — on the axon relay
+    # backend block_until_ready does not actually wait for execution.
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step_fn(state, x, y)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = step_fn(state, x, y)
+    float(metrics["loss"])  # forces completion of the chained steps
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = MEASURE_STEPS * batch / dt
+    per_chip = samples_per_sec / n_chips
+    vs = 1.0 if not BENCH_BASELINE else per_chip / BENCH_BASELINE
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(per_chip, 4),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,8 +119,43 @@ def main(pargs) -> dict:
     seed = pargs.seed
     logger.log_event(key="seed", value=seed)
 
+    visualize = (
+        pargs.training_visualization_frequency > 0
+        or pargs.validation_visualization_frequency > 0
+    )
+    plot_dir = os.path.join(pargs.output_dir, "plots")
     if comm_rank == 0:
         os.makedirs(pargs.output_dir, exist_ok=True)
+        if visualize:
+            os.makedirs(plot_dir, exist_ok=True)
+
+    from ..obs.wandb_utils import WandbLogger
+
+    wb = WandbLogger(
+        enable=pargs.enable_wandb, rank=comm_rank, certdir=pargs.wandb_certdir,
+        run_tag=pargs.run_tag, resume_logging=pargs.resume_logging,
+        config={
+            "root_dir": pargs.data_dir_prefix,
+            "output_dir": pargs.output_dir,
+            "max_epochs": pargs.max_epochs,
+            "local_batch_size": pargs.local_batch_size,
+            "num_workers": comm_size,
+            "channels": pargs.channels,
+            "optimizer": pargs.optimizer,
+            "start_lr": pargs.start_lr,
+            "adam_eps": pargs.adam_eps,
+            "weight_decay": pargs.weight_decay,
+            "model_prefix": pargs.model_prefix,
+            "amp_opt_level": pargs.amp_opt_level,
+            "loss_weight_pow": pargs.loss_weight_pow,
+            "lr_warmup_steps": pargs.lr_warmup_steps,
+            "lr_warmup_factor": pargs.lr_warmup_factor,
+            **{
+                f"lr_schedule_{k}": v
+                for k, v in (pargs.lr_schedule or {}).items()
+            },
+        },
+    )
 
     global_batch_size = pargs.local_batch_size * n_chips
     logger.log_event(key="global_batch_size", value=global_batch_size)
@@ -219,6 +254,42 @@ def main(pargs) -> dict:
     )
     eval_step = make_eval_step(model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2)
 
+    # jitted prediction for visualization (reference plots the current batch's
+    # argmax at training_visualization_frequency, train_hdf5_ddp.py:374-394)
+    predict = jax.jit(
+        lambda st, x: jnp.argmax(
+            model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats},
+                x, train=False,
+            ),
+            axis=-1,
+        )
+    )
+    viz = None
+    if visualize and comm_rank == 0:
+        from ..obs.visualizer import CamVisualizer
+
+        viz = CamVisualizer()
+
+    def visualize_sample(state, data, label, names, step, prefix):
+        # names covers only the real (unpadded) samples of the batch
+        sample_idx = int(np.random.randint(0, len(names)))
+        preds = predict(state, data)
+        outputfile = os.path.basename(names[sample_idx]).replace(
+            "data-", prefix + "-"
+        ).replace(".h5", ".png")
+        outputfile = os.path.join(plot_dir, outputfile)
+        viz.plot(
+            names[sample_idx], outputfile,
+            np.asarray(data[sample_idx, :, :, 0]),
+            np.asarray(preds[sample_idx]),
+            np.asarray(label[sample_idx]),
+        )
+        wb.log_image(
+            f"{prefix}_examples", outputfile,
+            "Prediction vs. Ground Truth", step,
+        )
+
     # place state on the mesh (replicated)
     state = jax.device_put(state, meshlib.replicated(mesh))
 
@@ -235,13 +306,14 @@ def main(pargs) -> dict:
         nonlocal stop_training
         logger.log_start(key="eval_start", metadata={"epoch_num": epoch + 1})
         count = loss_sum = iou_sum = 0.0
+        visualized = False
         max_samples = None
         if pargs.max_validation_steps is not None:
             # reference processes max_validation_steps+1 batch-1 samples per
             # rank before breaking (post-increment check, :484-487)
             max_samples = (pargs.max_validation_steps + 1) * pargs.eval_local_batch_size
         seen_local = 0
-        for data, label, _ in validation_loader:
+        for data, label, names in validation_loader:
             n = data.shape[0]
             valid = np.ones((n,), np.float32)
             if max_samples is not None and seen_local + n > max_samples * n_local:
@@ -258,6 +330,14 @@ def main(pargs) -> dict:
             v = jax.device_put(valid, data_sharding)
             c, ls, isum = eval_step(state, d, l, v)
             count += float(c); loss_sum += float(ls); iou_sum += float(isum)
+            if (
+                viz is not None
+                and pargs.validation_visualization_frequency > 0
+                and not visualized
+            ):
+                visualize_sample(state, d, np.asarray(label), names, step,
+                                 "validation")
+                visualized = True
             if max_samples is not None and seen_local >= max_samples * n_local:
                 break
         loss_avg_val = loss_sum / max(count, 1.0)
@@ -266,6 +346,7 @@ def main(pargs) -> dict:
                          metadata={"epoch_num": epoch + 1, "step_num": step})
         logger.log_event(key="eval_loss", value=loss_avg_val,
                          metadata={"epoch_num": epoch + 1, "step_num": step})
+        wb.log({"eval_loss": loss_avg_val, "eval_accuracy": iou_avg_val}, step)
         if iou_avg_val >= pargs.target_iou:
             logger.log_event(key="target_accuracy_reached", value=pargs.target_iou,
                              metadata={"epoch_num": epoch + 1, "step_num": step})
@@ -279,12 +360,21 @@ def main(pargs) -> dict:
         logger.log_start(key="epoch_start",
                          metadata={"epoch_num": epoch + 1, "step_num": step}, sync=True)
 
-        for data, label, _ in prefetch_to_device(
+        for data, label, names in prefetch_to_device(
             train_loader, data_sharding, data_sharding
         ):
             state, metrics = train_step(state, data, label)
             step += 1
             current_lr = float(lr_sched(step))
+
+            if (
+                viz is not None
+                and pargs.training_visualization_frequency > 0
+                and step % pargs.training_visualization_frequency == 0
+            ):
+                visualize_sample(
+                    state, data, np.asarray(label), names, step, "training"
+                )
 
             if step % pargs.logging_frequency == 0:
                 loss_avg = float(metrics["loss"])
@@ -295,6 +385,11 @@ def main(pargs) -> dict:
                                  metadata={"epoch_num": epoch + 1, "step_num": step})
                 logger.log_event(key="train_loss", value=loss_avg,
                                  metadata={"epoch_num": epoch + 1, "step_num": step})
+                wb.log(
+                    {"train_loss": loss_avg, "train_accuracy": iou_avg,
+                     "learning_rate": current_lr},
+                    step,
+                )
 
             if step % pargs.validation_frequency == 0:
                 eval_loss, eval_iou = run_validation(state, epoch, step)

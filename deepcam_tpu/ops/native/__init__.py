@@ -1,0 +1,89 @@
+"""Native (C++) host-side kernels with automatic build + numpy fallback.
+
+``lib()`` returns a ctypes handle to ``libdeepcam_host.so``, compiling it
+with g++ -O3 -fopenmp on first use.  All callers must degrade gracefully to
+numpy when no compiler is available (see data/dataset.py usage).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "preprocess.cpp")
+_SO = os.path.join(_HERE, "libdeepcam_host.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The native library, or None when unavailable (numpy fallback)."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                _failed = True
+                return None
+        try:
+            cdll = ctypes.CDLL(_SO)
+        except OSError:
+            _failed = True
+            return None
+        c_f32p = ctypes.POINTER(ctypes.c_float)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        cdll.normalize_hwc_f32.argtypes = [
+            c_f32p, c_f32p, c_f32p, c_f32p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        cdll.select_normalize_hwc_f32.argtypes = [
+            c_f32p, c_f32p, c_i32p, c_f32p, c_f32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        cdll.narrow_labels_i64_i32.argtypes = [c_i32p, c_i64p, ctypes.c_int64]
+        _lib = cdll
+        return _lib
+
+
+def normalize_hwc(data, shift, scale, out=None):
+    """``scale * (data - shift)`` over an (H, W, C) fp32 array, native when
+    possible.  ``shift``/``scale`` are (C,) fp32.  Returns the result."""
+    import numpy as np
+
+    cdll = lib()
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    if cdll is None:
+        return scale.reshape(1, 1, -1) * (data - shift.reshape(1, 1, -1))
+    h, w, c = data.shape
+    if out is None:
+        out = np.empty_like(data)
+    shift = np.ascontiguousarray(shift.reshape(-1), dtype=np.float32)
+    scale = np.ascontiguousarray(scale.reshape(-1), dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    cdll.normalize_hwc_f32(
+        out.ctypes.data_as(f32p), data.ctypes.data_as(f32p),
+        shift.ctypes.data_as(f32p), scale.ctypes.data_as(f32p),
+        h * w, c,
+    )
+    return out

@@ -1,0 +1,58 @@
+"""Checkpoint round-trip tests (parity: train_hdf5_ddp.py:232-242,515-527)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcam_tpu.ckpt.checkpoint import (
+    checkpoint_path,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from deepcam_tpu.models.deeplab import DeepLabv3plus
+from deepcam_tpu.train.optim import build_optimizer
+from deepcam_tpu.train.trainer import create_train_state
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 48, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = build_optimizer("Adam", 1e-3)
+    state = create_train_state(model, variables, tx)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+
+    path = checkpoint_path(str(tmp_path), "model", 42)
+    assert path.endswith("model_step_42.cpt")
+    save_checkpoint(path, state, epoch=3, process_index=0)
+
+    # fresh template state with different values
+    variables2 = model.init(jax.random.PRNGKey(1), x, train=False)
+    state2 = create_train_state(model, variables2, tx)
+    restored, epoch = restore_checkpoint(path, state2)
+
+    assert epoch == 3
+    assert int(restored.step) == 42
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nonzero_process_does_not_write(tmp_path):
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 48, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = build_optimizer("Adam", 1e-3)
+    state = create_train_state(model, variables, tx)
+    path = str(tmp_path / "nope.cpt")
+    save_checkpoint(path, state, epoch=0, process_index=1)
+    import os
+
+    assert not os.path.exists(path)
