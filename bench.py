@@ -26,7 +26,19 @@ MEASURE_STEPS = 8
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: full-model TPU compiles are minutes; the
+    # cache makes repeat bench/profile runs start in seconds
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/deepcam_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -60,11 +72,20 @@ def main():
     x = jax.device_put(x, meshlib.batch_sharding(mesh))
     y = jax.device_put(y, meshlib.batch_sharding(mesh))
 
+    verbose = os.environ.get("BENCH_VERBOSE") == "1"
+
+    def note(msg):
+        if verbose:
+            print(f"[bench +{time.perf_counter() - t_start:.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    t_start = time.perf_counter()
     # NOTE: synchronization is via a host scalar fetch — on the axon relay
     # backend block_until_ready does not actually wait for execution.
-    for _ in range(WARMUP_STEPS):
+    for i in range(WARMUP_STEPS):
         state, metrics = step_fn(state, x, y)
-    float(metrics["loss"])
+        float(metrics["loss"])
+        note(f"warmup step {i} done")
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):

@@ -256,13 +256,14 @@ def main(pargs) -> dict:
 
     # jitted prediction for visualization (reference plots the current batch's
     # argmax at training_visualization_frequency, train_hdf5_ddp.py:374-394)
+    from ..ops.classify import argmax_channels
+
     predict = jax.jit(
-        lambda st, x: jnp.argmax(
+        lambda st, x: argmax_channels(
             model.apply(
                 {"params": st.params, "batch_stats": st.batch_stats},
                 x, train=False,
-            ),
-            axis=-1,
+            )
         )
     )
     viz = None

@@ -189,10 +189,21 @@ class Conv2d(nn.Module):
 class ConvTranspose2d(nn.Module):
     """Transposed conv matching torch ConvTranspose2d(k, s, p, output_padding).
 
-    Implemented the XLA way: an input-dilated (lhs_dilation) conv with a
-    spatially flipped HWIO kernel and padding (k-1-p, k-1-p+op).  For the
-    decoder's k=3, s=2, p=1, op=1 this is an exact ×2 upsample, matching the
-    reference deconvs (``deeplab_xception.py:352-374``).
+    Two numerically identical implementations:
+
+    * ``method='dilated'``: the textbook XLA form — an input-dilated
+      (lhs_dilation) conv with a spatially flipped HWIO kernel and padding
+      (k-1-p, k-1-p+op).
+    * ``method='polyphase'`` (default for the k3/s2/p1/op1 decoder shape):
+      the TPU-fast form.  lhs_dilation materializes a 2x-zero-stuffed input
+      and runs a 3x3 conv where 3/4 of the MACs hit zeros; the polyphase
+      decomposition instead runs ONE dense 2x2 conv at *input* resolution
+      producing ``4 * features`` channels (the four output phases) and
+      interleaves them with a depth-to-space reshape — pure MXU work, 4x
+      fewer positions, no zero padding in the schedule.
+
+    For the decoder's k=3, s=2, p=1, op=1 this is an exact x2 upsample,
+    matching the reference deconvs (``deeplab_xception.py:352-374``).
     """
 
     features: int
@@ -204,6 +215,7 @@ class ConvTranspose2d(nn.Module):
     kernel_init: Callable = torch_default_convT_kernel_init()
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    method: str = "polyphase"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -215,16 +227,31 @@ class ConvTranspose2d(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, in_ch, self.features), self.param_dtype
         )
-        k = jnp.flip(kernel, axis=(0, 1))
-        pad = ((kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw))
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype),
-            k.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=pad,
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        k = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
+        xc = x.astype(self.dtype)
+
+        use_poly = (
+            self.method == "polyphase"
+            and (kh, kw) == (3, 3)
+            and (sh, sw) == (2, 2)
+            and (ph, pw) == (1, 1)
+            and (oph, opw) == (1, 1)
         )
+        if use_poly:
+            y = self._polyphase_k3s2(xc, k)
+        else:
+            pad = (
+                (kh - 1 - ph, kh - 1 - ph + oph),
+                (kw - 1 - pw, kw - 1 - pw + opw),
+            )
+            y = lax.conv_general_dilated(
+                xc,
+                k,
+                window_strides=(1, 1),
+                padding=pad,
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             fan_in = self.features * kh * kw
             bias = self.param(
@@ -232,6 +259,47 @@ class ConvTranspose2d(nn.Module):
             )
             y = y + bias.astype(y.dtype)
         return y
+
+    def _polyphase_k3s2(self, x: Array, K: Array) -> Array:
+        """k3/s2/p1/op1 transposed conv as 4 dense phase convs + pixel shuffle.
+
+        Derivation (1-D, per spatial dim).  The dilated-conv form computes
+        ``y[o] = sum_t P[o+t] K[t]`` over the zero-stuffed, (1,2)-padded input
+        P where ``P[m] = X[(m-1)/2]`` when m is odd.  Splitting by output
+        parity ``o = 2i + a``:
+
+            a=0:  y[2i]   = K[1] X[i]
+            a=1:  y[2i+1] = K[0] X[i] + K[2] X[i+1]
+
+        Separably in 2D, output phase (a, b) is a dense conv at INPUT
+        resolution with (1|2)x(1|2) taps — 9·H·W·I·O MACs total, exactly the
+        useful work, vs the lhs_dilation schedule that streams a 4x larger
+        zero-stuffed activation through the MXU.  ``K`` is the spatially
+        flipped kernel (correlation orientation).
+        """
+        n, h, w, in_ch = x.shape
+        o = self.features
+
+        def phase_conv(taps, pad_h, pad_w):
+            return lax.conv_general_dilated(
+                x,
+                taps,
+                window_strides=(1, 1),
+                padding=(pad_h, pad_w),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        # taps indexed [rows, cols] of K per the 1-D rule above
+        y00 = phase_conv(K[1:2, 1:2], (0, 0), (0, 0))            # K[1,1]
+        y01 = phase_conv(K[1:2, 0::2], (0, 0), (0, 1))           # K[1,0], K[1,2]
+        y10 = phase_conv(K[0::2, 1:2], (0, 1), (0, 0))           # K[0,1], K[2,1]
+        y11 = phase_conv(K[0::2, 0::2], (0, 1), (0, 1))          # 4 corners
+
+        # interleave: out[n, 2i+a, 2j+b, :] = y_ab[n, i, j, :]
+        y = jnp.stack([y00, y01, y10, y11], axis=-2)  # (N, H, W, 4, O)
+        y = y.reshape(n, h, w, 2, 2, o)
+        y = y.transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(n, 2 * h, 2 * w, o)
 
 
 def fixed_padding(kernel_size: int, rate: int) -> Tuple[int, int]:

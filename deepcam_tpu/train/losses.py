@@ -50,11 +50,34 @@ def weighted_ce_loss(
     del fpw_1, fpw_2  # intentionally inert (reference dead code)
     logits = logits.astype(jnp.float32)
     labels = labels.astype(jnp.int32)
+    n_classes = logits.shape[-1]
+
+    # TPU layout note: any elementwise op on a (..., C=3) tensor uses 3 of
+    # 128 vector lanes.  For the small class counts of this benchmark we
+    # unstack the class axis and compute the log-sum-exp and the weighted
+    # pick on full-width (N, H, W) slices (lane dim = W), which is ~10x
+    # faster than both take_along_axis (gather) and channels-last one-hot
+    # forms at (768, 1152) resolution.
+    if n_classes <= 8:
+        ls = [logits[..., c] for c in range(n_classes)]
+        m = ls[0]
+        for l in ls[1:]:
+            m = jnp.maximum(m, l)
+        sumexp = sum(jnp.exp(l - m) for l in ls)
+        lse = m + jnp.log(sumexp)
+        weighted_nll = jnp.zeros_like(lse)
+        for c, l in enumerate(ls):
+            mask = (labels == c).astype(jnp.float32)
+            weighted_nll = weighted_nll + mask * (float(weight[c]) * (lse - l))
+        return jnp.mean(weighted_nll)
+
+    # general fallback: fused one-hot contraction (gather-free)
     w = jnp.asarray(weight, dtype=jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    pix_w = w[labels]
-    return jnp.mean(pix_w * nll)
+    classes = jax.lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+    onehot = (labels[..., None] == classes).astype(jnp.float32)
+    weighted_nll = -jnp.sum(onehot * (w * logp), axis=-1)
+    return jnp.mean(weighted_nll)
 
 
 # Alias mirroring the reference's public name.

@@ -43,8 +43,26 @@ def compute_score(
     predictions: jax.Array, labels: jax.Array, num_classes: int = 3
 ) -> jax.Array:
     """Mean IoU over classes for a (batched) prediction/label pair, treating
-    the whole input as one sample — semantics of ``utils.compute_score``."""
-    return iou_from_confusion(confusion_matrix(predictions, labels, num_classes))
+    the whole input as one sample — semantics of ``utils.compute_score``.
+
+    TPU fast path: per-class tp/fp/fn as full-width boolean-mask reductions
+    (lane dim = W) — the direct vector form of ``utils.py:43-51`` — instead
+    of a (P, C) one-hot contraction whose tensors waste 125/128 lanes.
+    """
+    p = predictions.astype(jnp.int32)
+    t = labels.astype(jnp.int32)
+    equal = (p == t)
+    iou_sum = jnp.zeros((), jnp.float32)
+    for j in range(num_classes):
+        is_t = (t == j)
+        is_p = (p == j)
+        tp = jnp.sum((equal & is_t).astype(jnp.float32))
+        fp = jnp.sum(((~equal) & is_p).astype(jnp.float32))
+        fn = jnp.sum(((~equal) & is_t).astype(jnp.float32))
+        union = tp + fp + fn
+        iou = jnp.where(union > 0, tp / jnp.where(union > 0, union, 1.0), 1.0)
+        iou_sum = iou_sum + iou
+    return iou_sum / num_classes
 
 
 def per_sample_iou(

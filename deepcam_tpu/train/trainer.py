@@ -34,6 +34,7 @@ from flax import struct
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.classify import argmax_channels
 from .losses import weighted_ce_loss
 from .metrics import compute_score, per_sample_iou
 
@@ -101,7 +102,7 @@ def make_train_step(
         # Keep replicated state consistent across devices.
         new_bs = lax.pmean(new_bs, "data")
 
-        preds = jnp.argmax(logits, axis=-1)
+        preds = argmax_channels(logits)
         iou = compute_score(preds, y, num_classes=logits.shape[-1])
 
         metrics = {
@@ -153,7 +154,7 @@ def make_eval_step(
             return weighted_ce_loss(lg, lb, class_weights, fpw_1, fpw_2)
 
         losses = jax.vmap(sample_loss)(logits, y)
-        preds = jnp.argmax(logits, axis=-1)
+        preds = argmax_channels(logits)
         ious = per_sample_iou(preds, y, n_classes)
 
         v = valid.astype(jnp.float32)

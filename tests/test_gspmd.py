@@ -1,0 +1,88 @@
+"""GSPMD data x spatial partitioning tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcam_tpu.core import mesh as meshlib
+from deepcam_tpu.models.deeplab import DeepLabv3plus
+from deepcam_tpu.parallel.gspmd import batch_spec, make_train_step_gspmd
+from deepcam_tpu.train.losses import class_weights
+from deepcam_tpu.train.optim import build_optimizer
+from deepcam_tpu.train.trainer import create_train_state
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@pytest.mark.parametrize("spatial", [2, 4])
+def test_gspmd_step_runs_with_spatial_sharding(spatial):
+    mesh = meshlib.make_mesh(spatial=spatial)
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    x0 = jnp.zeros((1, 32, 48, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    tx = build_optimizer("AdamW", 1e-3)
+    state = create_train_state(model, variables, tx)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    step_fn = make_train_step_gspmd(model, tx, list(class_weights()), mesh)
+
+    n = mesh.shape["data"]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, 32, 48, 16).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, size=(n, 32, 48)).astype(np.int32))
+    sh = NamedSharding(mesh, batch_spec(mesh))
+    x = jax.device_put(x, sh)
+    y = jax.device_put(y, sh)
+
+    new_state, metrics = step_fn(state, x, y)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["iou"]) <= 1.0
+
+
+def test_gspmd_matches_single_device_math():
+    """Sharded (data=4, spatial=2) step == unsharded step: same loss and
+    same updated params (GSPMD must be numerics-preserving up to fp tolerance)."""
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    x0 = jnp.zeros((1, 32, 48, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x0, train=False)
+    tx = build_optimizer("Adam", 1e-3)
+
+    host_vars = jax.device_get(variables)  # donation-safe template
+
+    def fresh_vars():
+        return jax.tree_util.tree_map(jnp.asarray, host_vars)
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 32, 48, 16).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, size=(4, 32, 48)).astype(np.int32))
+
+    # sharded
+    mesh = meshlib.make_mesh(spatial=2)
+    state = create_train_state(model, fresh_vars(), tx)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step_fn = make_train_step_gspmd(model, tx, [1.0, 1.0, 1.0], mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, batch_spec(mesh)))
+    ys = jax.device_put(y, NamedSharding(mesh, batch_spec(mesh)))
+    sh_state, sh_metrics = step_fn(state, xs, ys)
+
+    # single-device reference (same math, no mesh)
+    mesh1 = meshlib.make_mesh(spatial=1, devices=jax.devices()[:1])
+    state1 = create_train_state(model, fresh_vars(), tx)
+    state1 = jax.device_put(state1, NamedSharding(mesh1, P()))
+    step1 = make_train_step_gspmd(model, tx, [1.0, 1.0, 1.0], mesh1)
+    x1 = jax.device_put(x, NamedSharding(mesh1, P()))
+    y1 = jax.device_put(y, NamedSharding(mesh1, P()))
+    ref_state, ref_metrics = step1(state1, x1, y1)
+
+    np.testing.assert_allclose(
+        float(sh_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    a = np.asarray(sh_state.params["conv1"]["kernel"])
+    b = np.asarray(ref_state.params["conv1"]["kernel"])
+    # Reduction-order fp noise through Adam's rsqrt can flip the update sign
+    # on near-zero gradients, so individual entries may differ by up to ~2*lr;
+    # require the overwhelming majority to agree tightly.
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} of params match"
+    np.testing.assert_allclose(a, b, atol=2.5e-3)  # |Δ| ≤ ~2 Adam steps
