@@ -105,5 +105,9 @@ class CamDataset:
             label = f["climate/labels_0"][...]
         data = data.astype(np.float32)
         if self.preprocess:
-            data = self.data_scale * (data - self.data_shift)
+            from ..ops import native
+
+            data = native.normalize_hwc(
+                data, self.data_shift, self.data_scale
+            )
         return data, label, filename

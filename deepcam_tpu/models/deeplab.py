@@ -158,12 +158,16 @@ class DeepLabv3plus(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, freeze_bn: bool = False):
+        # freeze_bn: run BN in eval mode during training (parity:
+        # ``DeepLabv3_plus.freeze_bn``, deeplab_xception.py:467-470)
+        bn_train = train and not freeze_bn
         input_hw = x.shape[1:3]
         x = x.astype(self.dtype)
         feats, low_level = Xception(
             output_stride=self.output_stride, dtype=self.dtype, name="xception"
-        )(x, train)
+        )(x, bn_train)
+        train = bn_train
 
         if self.output_stride == 16:
             rates = (1, 6, 12, 18)
@@ -219,3 +223,26 @@ class DeepLabv3plus(nn.Module):
 
         # Logits in fp32 for a numerically robust softmax/loss.
         return out.astype(jnp.float32)
+
+
+def lr_group_mask(params, group: str = "1x"):
+    """Boolean pytree masks for per-group learning rates.
+
+    Capability parity with ``get_1x_lr_params`` / ``get_10x_lr_params``
+    (``deeplab_xception.py:482-506``, unused by the reference driver): the
+    backbone ('1x') vs the classification head ('10x' — ASPP branches,
+    projections, decoder).  Use with ``optax.multi_transform`` /
+    ``optax.masked``.
+    """
+    backbone = group == "1x"
+
+    def mask_subtree(path_root: str) -> bool:
+        is_backbone = path_root == "xception"
+        return is_backbone if backbone else not is_backbone
+
+    import jax as _jax
+
+    return {
+        top: _jax.tree_util.tree_map(lambda _: mask_subtree(top), sub)
+        for top, sub in params.items()
+    }

@@ -194,13 +194,11 @@ class ConvTranspose2d(nn.Module):
     * ``method='dilated'``: the textbook XLA form — an input-dilated
       (lhs_dilation) conv with a spatially flipped HWIO kernel and padding
       (k-1-p, k-1-p+op).
-    * ``method='polyphase'`` (default for the k3/s2/p1/op1 decoder shape):
-      the TPU-fast form.  lhs_dilation materializes a 2x-zero-stuffed input
-      and runs a 3x3 conv where 3/4 of the MACs hit zeros; the polyphase
-      decomposition instead runs ONE dense 2x2 conv at *input* resolution
-      producing ``4 * features`` channels (the four output phases) and
-      interleaves them with a depth-to-space reshape — pure MXU work, 4x
-      fewer positions, no zero padding in the schedule.
+    * ``method='polyphase'``: four dense phase convs at input resolution +
+      pixel shuffle (no zero-stuffed schedule).  Kept for study — measured on
+      v5e it does NOT beat the dilated schedule (XLA:TPU already handles
+      lhs_dilation well for these shapes, and the phase-interleave transpose
+      costs more than the zero-skipping saves), so 'dilated' is the default.
 
     For the decoder's k=3, s=2, p=1, op=1 this is an exact x2 upsample,
     matching the reference deconvs (``deeplab_xception.py:352-374``).
@@ -215,7 +213,7 @@ class ConvTranspose2d(nn.Module):
     kernel_init: Callable = torch_default_convT_kernel_init()
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
-    method: str = "polyphase"
+    method: str = "dilated"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:

@@ -44,6 +44,15 @@ class XceptionBlock(nn.Module):
         stride == 1 and ``is_last`` appends a bare stride-1 separable conv;
       * skip path is 1x1-conv+BN when channels or stride change, identity
         otherwise; output = rep(x) + skip(x) with no trailing ReLU.
+
+    IMPORTANT inplace-ReLU aliasing quirk (verified empirically against the
+    reference): ``Block.rep``'s ReLUs are ``nn.ReLU(inplace=True)`` and
+    ``forward`` runs ``x = self.rep(inp)`` BEFORE reading ``inp`` again for
+    the skip path (deeplab_xception.py:79,111-118).  When
+    ``start_with_relu=True`` the first ReLU therefore mutates ``inp`` in
+    place, so the skip/residual path sees ``relu(inp)`` — including the
+    identity residual of every middle-flow block.  We reproduce exactly that:
+    the leading ReLU is applied once to the input before the residual split.
     """
 
     out_ch: int
@@ -58,6 +67,9 @@ class XceptionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         in_ch = x.shape[-1]
+        if self.start_with_relu:
+            # inplace-ReLU aliasing: the residual/skip input is relu(x)
+            x = nn.relu(x)
         inp = x
 
         # Build the unit list exactly like the reference constructor.
@@ -73,7 +85,7 @@ class XceptionBlock(nn.Module):
             units.append(self.out_ch)
 
         for i, feat in enumerate(units):
-            if not (i == 0 and not self.start_with_relu):
+            if i > 0:
                 x = nn.relu(x)
             x = SeparableConv2dSame(
                 features=feat,
@@ -153,7 +165,10 @@ class Xception(nn.Module):
         x = XceptionBlock(
             128, reps=2, stride=2, start_with_relu=False, dtype=self.dtype, name="block1"
         )(x, train)
-        low_level_feat = x
+        # The reference taps low_level_feat after block1 (:205-206), but
+        # block2's leading inplace ReLU then mutates that same tensor —
+        # downstream consumers actually receive relu(block1_out).  Reproduce.
+        low_level_feat = nn.relu(x)
         x = XceptionBlock(256, reps=2, stride=2, dtype=self.dtype, name="block2")(
             x, train
         )
