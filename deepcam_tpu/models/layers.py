@@ -300,6 +300,59 @@ class ConvTranspose2d(nn.Module):
         return y.reshape(n, 2 * h, 2 * w, o)
 
 
+# Depthwise lowering: 'conv' = grouped conv_general_dilated; 'shifts' = 9
+# shift-multiply-adds on the VPU (ops/depthwise.py).  Switchable globally for
+# whole-model A/B benchmarking; parameter trees are identical either way.
+_DEPTHWISE_IMPL = "conv"
+
+
+def set_depthwise_impl(name: str) -> None:
+    global _DEPTHWISE_IMPL
+    assert name in ("conv", "shifts"), name
+    _DEPTHWISE_IMPL = name
+
+
+def get_depthwise_impl() -> str:
+    return _DEPTHWISE_IMPL
+
+
+class DepthwiseConv3x3(nn.Module):
+    """Depthwise 3x3 with selectable lowering (same params either way)."""
+
+    stride: int = 1
+    dilation: int = 1
+    padding: Tuple[int, int] = (1, 1)
+    kernel_init: Callable = kaiming_normal_torch()
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, 1, in_ch), self.param_dtype
+        )
+        if _DEPTHWISE_IMPL == "shifts":
+            from ..ops.depthwise import depthwise3x3_shifts
+
+            return depthwise3x3_shifts(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                stride=self.stride,
+                dilation=self.dilation,
+                padding=self.padding,
+            )
+        return conv2d(
+            x,
+            kernel,
+            stride=self.stride,
+            padding=(self.padding, self.padding),
+            dilation=self.dilation,
+            groups=in_ch,
+            compute_dtype=self.dtype,
+        )
+
+
 def fixed_padding(kernel_size: int, rate: int) -> Tuple[int, int]:
     """Reference 'same' padding: effective kernel k + (k-1)(rate-1), split
     floor/ceil (``deeplab_xception.py:45-51``).  Returns (pad_beg, pad_end)."""
@@ -373,19 +426,30 @@ class SeparableConv2dSame(nn.Module):
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
         pad = fixed_padding(self.kernel_size, self.dilation)
-        x = Conv2d(
-            features=in_ch,
-            kernel_size=self.kernel_size,
-            stride=self.stride,
-            padding=(pad, pad),
-            dilation=self.dilation,
-            groups=in_ch,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="depthwise",
-        )(x)
+        if self.kernel_size == 3 and not self.use_bias:
+            x = DepthwiseConv3x3(
+                stride=self.stride,
+                dilation=self.dilation,
+                padding=pad,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="depthwise",
+            )(x)
+        else:
+            x = Conv2d(
+                features=in_ch,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                padding=(pad, pad),
+                dilation=self.dilation,
+                groups=in_ch,
+                use_bias=self.use_bias,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="depthwise",
+            )(x)
         x = Conv2d(
             features=self.features,
             kernel_size=1,
