@@ -18,7 +18,8 @@ import sys
 import time
 
 # Our own north-star number to beat (samples/s/chip); updated as rounds land.
-BENCH_BASELINE = None
+# r1 initial implementation measured 9.70; current best 14.22 (PERF.md).
+BENCH_BASELINE = 9.70
 
 LOCAL_BATCH = 2  # reference per-GPU batch (run_training_dgx2.sh:70)
 WARMUP_STEPS = 2
