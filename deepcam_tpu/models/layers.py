@@ -300,15 +300,17 @@ class ConvTranspose2d(nn.Module):
         return y.reshape(n, 2 * h, 2 * w, o)
 
 
-# Depthwise lowering: 'conv' = grouped conv_general_dilated; 'shifts' = 9
-# shift-multiply-adds on the VPU (ops/depthwise.py).  Switchable globally for
-# whole-model A/B benchmarking; parameter trees are identical either way.
-_DEPTHWISE_IMPL = "conv"
+# Depthwise lowering: 'conv_vjp' (default) = grouped conv forward + custom
+# hand-built backward (XLA's autodiff of grouped convs is ~4x off at high
+# resolution, PERF.md); 'conv' = grouped conv with XLA autodiff; 'shifts' =
+# 9 shift-multiply-adds on the VPU.  Switchable globally for whole-model A/B
+# benchmarking; parameter trees are identical in all cases.
+_DEPTHWISE_IMPL = "conv_vjp"
 
 
 def set_depthwise_impl(name: str) -> None:
     global _DEPTHWISE_IMPL
-    assert name in ("conv", "shifts"), name
+    assert name in ("conv", "conv_vjp", "shifts"), name
     _DEPTHWISE_IMPL = name
 
 
@@ -341,6 +343,18 @@ class DepthwiseConv3x3(nn.Module):
                 stride=self.stride,
                 dilation=self.dilation,
                 padding=self.padding,
+            )
+        if _DEPTHWISE_IMPL == "conv_vjp" and (
+            self.stride == 1 or (self.stride == 2 and self.dilation == 1)
+        ):
+            from ..ops.depthwise import depthwise3x3
+
+            return depthwise3x3(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                self.stride,
+                self.dilation,
+                tuple(self.padding),
             )
         return conv2d(
             x,
