@@ -516,16 +516,27 @@ class BatchNorm2d(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
 
+        # Layout note: every fp32 intermediate here is a SINGLE-consumer chain
+        # feeding a reduction, so XLA fuses the bf16→fp32 convert into the
+        # reduce and never materializes an fp32 copy of the activation (a
+        # shared `x32 = x.astype(f32)` materialized ~2.8 GB of copies per
+        # step at full resolution — see PERF.md).
         if train:
-            x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=(0, 1, 2))
-            mean_sq = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            # pass 1: mean with fp32 accumulation
+            mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
             n = x.shape[0] * x.shape[1] * x.shape[2]
             if self.axis_name is not None:
                 mean = lax.pmean(mean, self.axis_name)
-                mean_sq = lax.pmean(mean_sq, self.axis_name)
                 n = n * lax.psum(1, self.axis_name)
-            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            # pass 2: centered second moment in fp32 (numerically stabler
+            # than E[x^2] - E[x]^2 and still one fused convert-sub-sq-reduce;
+            # centering on the post-pmean mean keeps sync-BN exact)
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32) - mean),
+                axis=(0, 1, 2),
+            )
+            if self.axis_name is not None:
+                var = lax.pmean(var, self.axis_name)
             if not self.is_initializing():
                 m = self.momentum
                 unbiased = var * (n / max(n - 1, 1))
@@ -535,6 +546,9 @@ class BatchNorm2d(nn.Module):
             mean = ra_mean.value
             var = ra_var.value
 
+        # apply as one fused FMA in the compute dtype: y = x*a + b with the
+        # per-channel a/b computed in fp32
         inv = lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
-        y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
-        return y.astype(self.dtype)
+        a = inv.astype(self.dtype)
+        b = (bias.astype(jnp.float32) - mean * inv).astype(self.dtype)
+        return x.astype(self.dtype) * a + b
