@@ -156,6 +156,9 @@ class Conv2d(nn.Module):
     kernel_init: Callable = kaiming_normal_torch()
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # route through ops/conv_small_ch's custom VJP (for lane-starved entry
+    # convs whose XLA wgrad is layout-pathological; PERF.md)
+    small_ch_vjp: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -168,6 +171,29 @@ class Conv2d(nn.Module):
             (kh, kw, in_ch // self.groups, self.features),
             self.param_dtype,
         )
+        if (
+            self.small_ch_vjp
+            and (kh, kw) == (3, 3)
+            and self.groups == 1
+            and _to_pair(self.dilation) == (1, 1)
+            and self.padding == 1
+            and _to_pair(self.stride)[0] in (1, 2)
+        ):
+            from ..ops.conv_small_ch import conv3x3_small_ch
+
+            y = conv3x3_small_ch(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                _to_pair(self.stride)[0],
+            )
+            if self.use_bias:
+                fan_in = in_ch * kh * kw
+                bias = self.param(
+                    "bias", torch_default_bias_init(fan_in), (self.features,),
+                    self.param_dtype,
+                )
+                y = y + bias.astype(y.dtype)
+            return y
         y = conv2d(
             x,
             kernel,

@@ -154,11 +154,14 @@ class Xception(nn.Module):
                 f"output_stride {self.output_stride} not supported"
             )
 
-        # Entry flow
-        x = Conv2d(32, 3, stride=2, padding=1, dtype=self.dtype, name="conv1")(x)
+        # Entry flow (small_ch_vjp: custom backward for these lane-starved
+        # high-resolution convs, ops/conv_small_ch.py)
+        x = Conv2d(32, 3, stride=2, padding=1, dtype=self.dtype,
+                   small_ch_vjp=True, name="conv1")(x)
         x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
-        x = Conv2d(64, 3, stride=1, padding=1, dtype=self.dtype, name="conv2")(x)
+        x = Conv2d(64, 3, stride=1, padding=1, dtype=self.dtype,
+                   small_ch_vjp=True, name="conv2")(x)
         x = BatchNorm2d(dtype=self.dtype, name="bn2")(x, train)
         x = nn.relu(x)
 
