@@ -248,6 +248,20 @@ def main(pargs) -> dict:
 
     mesh = meshlib.make_mesh(spatial=1)
     data_sharding = meshlib.batch_sharding(mesh)
+
+    # With bf16 compute the model's first op casts the input anyway
+    # (deeplab.py: x.astype(dtype)); casting on the HOST instead halves the
+    # host->HBM transfer (54 -> 27 MB/sample) with bit-identical results.
+    input_cast = (
+        np.dtype(jnp.bfloat16) if compute_dtype == jnp.bfloat16 else None
+    )
+
+    def cast_input(data):
+        return data.astype(input_cast) if input_cast is not None else data
+
+    def cast_batches(it):
+        for data, label, names in it:
+            yield cast_input(data), label, names
     weights = list(class_weights(pargs.loss_weight_pow))
     train_step = make_train_step(
         model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2, remat=pargs.remat
@@ -282,7 +296,7 @@ def main(pargs) -> dict:
         outputfile = os.path.join(plot_dir, outputfile)
         viz.plot(
             names[sample_idx], outputfile,
-            np.asarray(data[sample_idx, :, :, 0]),
+            np.asarray(data[sample_idx, :, :, 0], dtype=np.float32),
             np.asarray(preds[sample_idx]),
             np.asarray(label[sample_idx]),
         )
@@ -326,7 +340,7 @@ def main(pargs) -> dict:
                 label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
                 valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
             seen_local += n
-            d = jax.device_put(data, data_sharding)
+            d = jax.device_put(cast_input(data), data_sharding)
             l = jax.device_put(label, data_sharding)
             v = jax.device_put(valid, data_sharding)
             c, ls, isum = eval_step(state, d, l, v)
@@ -362,7 +376,7 @@ def main(pargs) -> dict:
                          metadata={"epoch_num": epoch + 1, "step_num": step}, sync=True)
 
         for data, label, names in prefetch_to_device(
-            train_loader, data_sharding, data_sharding
+            cast_batches(train_loader), data_sharding, data_sharding
         ):
             state, metrics = train_step(state, data, label)
             step += 1
