@@ -56,20 +56,25 @@ def make_train_step_gspmd(
     placed with ``NamedSharding(mesh, P('data', 'spatial'))`` (labels shard
     H the same way).  Parameters and optimizer state are replicated.
     """
-    apply_fn = model.apply
-    if remat:
-        apply_fn = jax.checkpoint(
-            model.apply,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        )
-
-    def loss_fn(params, batch_stats, x, y):
-        logits, updates = apply_fn(
+    def _apply(params, batch_stats, x):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
             train=True,
             mutable=["batch_stats"],
         )
+
+    apply_fn = _apply
+    if remat:
+        # checkpoint a pure array-only closure (jax.checkpoint rejects the
+        # string kwargs of model.apply)
+        apply_fn = jax.checkpoint(
+            _apply,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+
+    def loss_fn(params, batch_stats, x, y):
+        logits, updates = apply_fn(params, batch_stats, x)
         loss = weighted_ce_loss(logits, y, class_weights, fpw_1, fpw_2)
         return loss, (logits, updates["batch_stats"])
 
