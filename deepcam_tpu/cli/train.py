@@ -340,9 +340,9 @@ def main(pargs) -> dict:
                 label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
                 valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
             seen_local += n
-            d = jax.device_put(cast_input(data), data_sharding)
-            l = jax.device_put(label, data_sharding)
-            v = jax.device_put(valid, data_sharding)
+            d = meshlib.put_global(cast_input(data), data_sharding)
+            l = meshlib.put_global(label, data_sharding)
+            v = meshlib.put_global(valid, data_sharding)
             c, ls, isum = eval_step(state, d, l, v)
             count += float(c); loss_sum += float(ls); iou_sum += float(isum)
             if (
@@ -380,7 +380,10 @@ def main(pargs) -> dict:
         ):
             state, metrics = train_step(state, data, label)
             step += 1
-            current_lr = float(lr_sched(step))
+            # lr actually used by the update just taken: optax's count was
+            # step-1 inside this step (reference logs get_last_lr(),
+            # train_hdf5_ddp.py:399-400)
+            current_lr = float(lr_sched(step - 1))
 
             if (
                 viz is not None

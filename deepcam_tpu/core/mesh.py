@@ -16,6 +16,7 @@ Mesh axes:
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional, Sequence, Tuple
 
@@ -23,12 +24,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+logger = logging.getLogger(__name__)
+
 
 def init_distributed(wireup_method: str = "auto") -> None:
     """Multi-host wireup.  ``auto`` initializes jax.distributed only when a
-    multi-process environment is detected (coordinator env vars present);
-    single-process runs (and tests) skip it.  ``dummy`` never initializes —
-    the parity analogue of comm.init's degenerate single-rank path."""
+    multi-process environment is detected (coordinator env vars present) and
+    logs loudly if that fails; ``jax`` *requires* successful wireup and
+    raises otherwise (parity: the reference's comm.init fails loudly too,
+    ``comm.py:64-113`` — a half-wired pod silently training N independent
+    models is the worst failure mode).  ``dummy`` never initializes — the
+    parity analogue of comm.init's degenerate single-rank path."""
     if wireup_method == "dummy":
         return
     already = jax.process_count() > 1
@@ -46,9 +52,19 @@ def init_distributed(wireup_method: str = "auto") -> None:
         return
     try:
         jax.distributed.initialize()
-    except Exception:
-        # single-process fallback (e.g. local TPU without a coordinator)
-        pass
+    except Exception as e:
+        if wireup_method == "jax":
+            raise RuntimeError(
+                "--wireup_method jax requested but jax.distributed."
+                f"initialize() failed: {e}"
+            ) from e
+        # auto: fall back to single-process, but say so loudly — the env
+        # vars suggested a multi-process launch.
+        logger.warning(
+            "init_distributed(auto): coordinator env vars present but "
+            "jax.distributed.initialize() failed (%s); continuing "
+            "SINGLE-process. If this is a pod run, fix the wireup.", e
+        )
 
 
 def get_rank() -> int:
@@ -98,6 +114,23 @@ def label_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_global(array, sharding: NamedSharding):
+    """Place a HOST-LOCAL numpy batch as a global sharded array.
+
+    Single-process: a plain (async) ``jax.device_put``.  Multi-process: each
+    process contributes its local shard and
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    (global batch = sum of per-host batches).  Feeding a NamedSharding that
+    spans processes straight through ``device_put`` would instead interpret
+    the local batch as the ENTIRE global array — silently shrinking the
+    global batch to one host's worth (parity hazard vs the reference's
+    per-rank DistributedSampler feed, ``train_hdf5_ddp.py:280-293``).
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, array)
+    return jax.device_put(array, sharding)
 
 
 def local_device_count() -> int:

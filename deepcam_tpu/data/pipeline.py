@@ -105,13 +105,19 @@ def prefetch_to_device(
     Issues ``jax.device_put`` for up to ``depth`` upcoming batches so the
     host→HBM DMA of batch k+1 overlaps step k's compute (device_put is async
     under JAX's dispatch).  Filenames pass through untouched.
+
+    Multi-process runs route through ``core.mesh.put_global`` so each host's
+    batch becomes one SHARD of the global batch (not a conflicting "global"
+    value — see put_global's docstring).
     """
+    from ..core.mesh import put_global
+
     queue = collections.deque()
 
     def put(item):
         data, label, names = item
-        d = jax.device_put(data, data_sharding)
-        l = jax.device_put(label, label_sharding)
+        d = put_global(data, data_sharding)
+        l = put_global(label, label_sharding)
         queue.append((d, l, names))
 
     it = iter(iterator)

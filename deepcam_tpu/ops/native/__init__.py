@@ -8,30 +8,65 @@ numpy when no compiler is available (see data/dataset.py usage).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 import threading
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "preprocess.cpp")
-_SO = os.path.join(_HERE, "libdeepcam_host.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _failed = False
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    """Cache path keyed by the SOURCE HASH, not mtime: git checkouts don't
+    preserve mtimes, and the binary is -march=native so it must never be
+    committed or shared across machines (it could SIGILL elsewhere)."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "DEEPCAM_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), f"deepcam_native_{os.getuid()}"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"libdeepcam_host_{digest}.so")
+
+
+def _build(so: str) -> bool:
+    tmp = so + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        _SRC, "-o", _SO,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)  # atomic: concurrent builders race safely
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return False
+
+
+def _sanity_check(cdll: ctypes.CDLL) -> bool:
+    """Tiny end-to-end call compared against numpy before trusting the lib."""
+    import numpy as np
+
+    data = np.arange(12, dtype=np.float32).reshape(2, 2, 3)
+    shift = np.asarray([1.0, 2.0, 3.0], np.float32)
+    scale = np.asarray([2.0, 0.5, 1.0], np.float32)
+    out = np.empty_like(data)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    cdll.normalize_hwc_f32(
+        out.ctypes.data_as(f32p), data.ctypes.data_as(f32p),
+        shift.ctypes.data_as(f32p), scale.ctypes.data_as(f32p),
+        ctypes.c_int64(4), ctypes.c_int64(3),
+    )
+    want = scale.reshape(1, 1, -1) * (data - shift.reshape(1, 1, -1))
+    return bool(np.allclose(out, want))
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -42,12 +77,12 @@ def lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                _failed = True
-                return None
+        so = _so_path()
+        if not os.path.exists(so) and not _build(so):
+            _failed = True
+            return None
         try:
-            cdll = ctypes.CDLL(_SO)
+            cdll = ctypes.CDLL(so)
         except OSError:
             _failed = True
             return None
@@ -62,6 +97,9 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
         cdll.narrow_labels_i64_i32.argtypes = [c_i32p, c_i64p, ctypes.c_int64]
+        if not _sanity_check(cdll):
+            _failed = True
+            return None
         _lib = cdll
         return _lib
 

@@ -109,9 +109,11 @@ def dw_wgrad_pallas(
                      j * d + (ow - 1) * s + 1, tc),
                     (s, s, 1),
                 )
-                # bf16 product, fp32 accumulation (keeps VMEM temps small)
+                # fp32 operands BEFORE the product — matches the slice-form
+                # wgrad it replaces (bf16 products add a rounding per MAC)
                 out_ref[i, j, :] += jnp.sum(
-                    (tap * gt).astype(jnp.float32), axis=(0, 1)
+                    tap.astype(jnp.float32) * gt.astype(jnp.float32),
+                    axis=(0, 1),
                 )
 
     out = pl.pallas_call(
