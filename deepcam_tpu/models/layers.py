@@ -333,6 +333,55 @@ class ConvTranspose2d(nn.Module):
 # benchmarking; parameter trees are identical in all cases.
 _DEPTHWISE_IMPL = "conv_vjp"
 
+# Whole-unit sepconv lowering: 'auto' (default) routes every stride-1
+# SeparableConv2dSame through the fused [relu→]dw→pw Pallas kernel
+# (ops/pallas/fused_sepconv.py) on TPU, and through the unfused XLA ops on
+# CPU; 'fused' forces the kernel (interpret-mode on CPU — tests only);
+# 'xla' forces the unfused path.  Parameter trees are identical either way.
+_SEPCONV_IMPL = "auto"
+
+
+def set_sepconv_impl(name: str) -> None:
+    global _SEPCONV_IMPL
+    assert name in ("auto", "fused", "xla"), name
+    _SEPCONV_IMPL = name
+
+
+def get_sepconv_impl() -> str:
+    return _SEPCONV_IMPL
+
+
+def _fused_sepconv_active() -> Tuple[bool, bool]:
+    """(use fused kernel?, interpret mode?)."""
+    import os
+
+    if _SEPCONV_IMPL == "xla":
+        return False, False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if _SEPCONV_IMPL == "fused":
+        return True, not on_tpu
+    if os.environ.get("DEEPCAM_FUSED_SEPCONV") == "0":
+        return False, False
+    return on_tpu, False
+
+
+class _KernelParam(nn.Module):
+    """Declares a conv kernel param without the conv module, so the fused
+    sepconv path creates the IDENTICAL parameter tree (same scope path,
+    name, shape, init → same checkpoint format and init values) as the
+    unfused DepthwiseConv3x3/Conv2d children."""
+
+    shape: Tuple[int, ...]
+    init: Callable
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", self.init, self.shape, self.param_dtype)
+
 
 def set_depthwise_impl(name: str) -> None:
     global _DEPTHWISE_IMPL
@@ -451,13 +500,21 @@ class SeparableConv2d(nn.Module):
 
 class SeparableConv2dSame(nn.Module):
     """SeparableConv2d with the reference's explicit asymmetric 'same' padding
-    (``SeparableConv2d_same``, ``deeplab_xception.py:54-66``)."""
+    (``SeparableConv2d_same``, ``deeplab_xception.py:54-66``).
+
+    ``pre_relu=True`` applies a ReLU to the input first — the rep-unit ReLU
+    the reference applies just before each sepconv
+    (``deeplab_xception.py:79-108``).  Declaring it here (instead of at the
+    call site) lets the stride-1 path fuse relu→dw→pw into one Pallas kernel
+    on TPU; the parameter tree and numerics are identical either way.
+    """
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
     use_bias: bool = False
+    pre_relu: bool = False
     kernel_init: Callable = kaiming_normal_torch()
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -465,6 +522,33 @@ class SeparableConv2dSame(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_ch = x.shape[-1]
+        fused, interpret = _fused_sepconv_active()
+        if (
+            fused
+            and self.kernel_size == 3
+            and self.stride == 1
+            and not self.use_bias
+        ):
+            from ..ops.pallas.fused_sepconv import fused_sepconv
+
+            dwk = _KernelParam(
+                (3, 3, 1, in_ch), self.kernel_init, self.param_dtype,
+                name="depthwise",
+            )()
+            pwk = _KernelParam(
+                (1, 1, in_ch, self.features), self.kernel_init,
+                self.param_dtype, name="pointwise",
+            )()
+            return fused_sepconv(
+                x.astype(self.dtype),
+                dwk[:, :, 0, :].astype(self.dtype),
+                pwk[0, 0].astype(self.dtype),
+                self.pre_relu,
+                self.dilation,
+                interpret,
+            )
+        if self.pre_relu:
+            x = nn.relu(x)
         pad = fixed_padding(self.kernel_size, self.dilation)
         if self.kernel_size == 3 and not self.use_bias:
             x = DepthwiseConv3x3(

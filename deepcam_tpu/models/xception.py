@@ -85,13 +85,15 @@ class XceptionBlock(nn.Module):
             units.append(self.out_ch)
 
         for i, feat in enumerate(units):
-            if i > 0:
-                x = nn.relu(x)
+            # the rep-unit ReLU (i > 0) is declared ON the sepconv so the
+            # TPU path can fuse relu→dw→pw into one kernel; unit 0's ReLU is
+            # the block-level one applied above (shared with the residual)
             x = SeparableConv2dSame(
                 features=feat,
                 kernel_size=3,
                 stride=1,
                 dilation=self.dilation,
+                pre_relu=i > 0,
                 dtype=self.dtype,
                 name=f"sepconv{i}",
             )(x)
@@ -211,16 +213,17 @@ class Xception(nn.Module):
             1536, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv3"
         )(x)
         x = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train)
-        x = nn.relu(x)
 
+        # the inter-conv ReLUs are declared on the sepconvs (fusable on TPU)
         x = SeparableConv2dSame(
-            1536, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv4"
+            1536, 3, stride=1, dilation=exit_block_rates[1], pre_relu=True,
+            dtype=self.dtype, name="conv4"
         )(x)
         x = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train)
-        x = nn.relu(x)
 
         x = SeparableConv2dSame(
-            2048, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv5"
+            2048, 3, stride=1, dilation=exit_block_rates[1], pre_relu=True,
+            dtype=self.dtype, name="conv5"
         )(x)
         x = BatchNorm2d(dtype=self.dtype, name="bn5")(x, train)
         x = nn.relu(x)

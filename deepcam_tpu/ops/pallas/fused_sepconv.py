@@ -1,0 +1,276 @@
+"""Pallas TPU kernel: fused [ReLU →] depthwise-3x3 → pointwise-1x1 unit.
+
+The Xception trunk is a chain of `relu → sepconv(dw 3x3 + pw 1x1) → BN`
+units (reference ``deeplab_xception.py:69-122`` rep units; executed 48x in
+the middle flow at (48, 72, 728)).  Round-1 left each op to XLA: every unit
+materializes the relu output, the depthwise output and the pointwise output
+in HBM, and the backward re-reads the activation ~9x for the depthwise wgrad
+slices (PERF.md: ~40 ms/step of copies/slices/pads on a 129 ms step).
+
+This kernel computes the whole unit in ONE pass per (image, row-tile) grid
+step — and its custom-VJP backward computes ALL of {dx, d_dw, d_pw} from one
+residency of (x, g):
+
+forward (per grid step):
+    xt   = x rows [hi*th-d, hi*th+th+d)  (overlapping ``pl.Element`` row
+                                          window — Pallas pipelines it)
+    h    = relu(xt)                      (VPU; skipped when pre_relu=False)
+    d    = sum of 9 shifted taps h*k     (VPU, fp32 acc; W shifts in-kernel
+                                          via slice + zero-block concat)
+    y    = d @ pw                        (MXU, fp32 acc, bf16 out)
+
+backward (per grid step):
+    xt, gt = haloed x and g row windows
+    h    = relu(xt);  dd = gt @ pw^T     (MXU — pointwise dgrad, fp32)
+    dh   = sum of 9 shifted taps dd*flip(k)        (depthwise dgrad)
+    dx   = dh * (xt > 0)                           (relu mask)
+    d_dw[i,j] += sum h_tap(i,j) * dd_center        (depthwise wgrad,
+                                                    accumulated across grid)
+    d_pw     += d_center^T @ g_center    (MXU — pointwise wgrad, accumulated)
+
+The cross-grid fp32 accumulation for d_dw / d_pw relies on the sequential
+TPU grid with a constant output index map (same pattern as
+ops/pallas/dw_wgrad.py).  Numerics match the unfused XLA path: bf16 operands
+are upcast to fp32 *before* every product, accumulation is fp32, and the
+depthwise output is rounded to bf16 before the pointwise matmul exactly
+where the unfused path rounds it.
+
+Mosaic constraints that shaped the design (probed on v5e, see git history
+of scripts/probe_element_window.py):
+* manual-DMA HBM slices need 128-aligned lane extents → C=728 can't be
+  manually DMA'd without host channel padding;
+* element-window *padding* is unsupported (low) and sublane starts must be
+  8-aligned → the row halo comes from a host-side H pad of (d, d) (an XLA
+  pad the compiler fuses into the producer; the padded array is also the
+  saved residual, so the backward re-uses it) and the W halo is built
+  in-kernel (slice + zero-block concat);
+* with in-bounds element starts and no window padding, the same code path
+  runs under interpret mode on CPU (used by tests/test_fused_sepconv.py).
+
+Supported: stride 1, dilation d (halo d), any C/F (lane padding is left to
+Mosaic — no host-side channel pad).  Stride-2 sepconvs (3 in the model)
+stay on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_row_tile(h: int, target: int = 8) -> int:
+    """Largest divisor of h that is <= target (grid rows per step)."""
+    for t in range(min(target, h), 0, -1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+def _shift_w(t, o):
+    """out[:, w] = t[:, w+o], zero-filled where w+o is out of range."""
+    if o == 0:
+        return t
+    z = jnp.zeros((t.shape[0], abs(o), t.shape[2]), t.dtype)
+    if o > 0:
+        return jnp.concatenate([t[:, o:, :], z], axis=1)
+    return jnp.concatenate([z, t[:, :o, :]], axis=1)
+
+
+def _dw_from_halo(ht, k, *, th, d, flip=False):
+    """Depthwise 3x3 over the row-haloed tile ``ht`` (th+2d, W, C):
+    out[r, w, c] = sum_ij ht[r + i*d, w + (j-1)*d, c] * k[i, j, c] with
+    zero W edges; fp32 accumulation; ``flip`` uses k[2-i, 2-j] (dgrad)."""
+    acc = None
+    k32 = k.astype(jnp.float32)
+    for i in range(3):
+        rows = ht[i * d:i * d + th, :, :]
+        for j in range(3):
+            tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
+            kij = k32[2 - i, 2 - j] if flip else k32[i, j]
+            term = tap * kij
+            acc = term if acc is None else acc + term
+    return acc
+
+
+def _halo_spec(th, d, w, c):
+    """Overlapping row window (1, th+2d, w, c) starting at row hi*th of the
+    H-padded operand — all starts in-bounds, no window padding."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(th + 2 * d), pl.Element(w),
+         pl.Element(c)),
+        lambda ni, hi: (ni, hi * th, 0, 0),
+    )
+
+
+def _pad_h(x, d):
+    return jnp.pad(x, ((0, 0), (d, d), (0, 0), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
+                interpret: bool = False):
+    """xp is the H-padded input (N, H+2d, W, C)."""
+    n, hp, w, c = xp.shape
+    f = pwk.shape[-1]
+    d = dilation
+    h = hp - 2 * d
+    th = _pick_row_tile(h)
+    nh = h // th
+
+    def kernel(x_ref, dwk_ref, pwk_ref, out_ref):
+        ht = x_ref[0]
+        if pre_relu:
+            ht = jnp.maximum(ht, 0)
+        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d)
+        db = dw32.astype(xp.dtype).reshape(th * w, c)
+        y = jnp.dot(db, pwk_ref[...], preferred_element_type=jnp.float32)
+        out_ref[0] = y.astype(out_ref.dtype).reshape(th, w, f)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, nh),
+        in_specs=[
+            _halo_spec(th, d, w, c),
+            pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+            pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, f), lambda ni, hi: (ni, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, f), xp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, dwk, pwk)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
+                interpret: bool = False):
+    """xp, gp are H-padded (N, H+2d, W, C/F).  Returns (dx (N,H,W,C) in
+    x.dtype, d_dw (3,3,C) fp32, d_pw (C,F) fp32).  ``pwk_t`` is the
+    transposed pointwise kernel (F, C)."""
+    n, hp, w, c = xp.shape
+    f = pwk_t.shape[0]
+    d = dilation
+    h = hp - 2 * d
+    th = _pick_row_tile(h)
+    nh = h // th
+    thh = th + 2 * d
+
+    def kernel(x_ref, g_ref, dwk_ref, pwt_ref, dx_ref, ddw_ref, dpw_ref):
+        ni = pl.program_id(0)
+        hi = pl.program_id(1)
+        xt = x_ref[0]
+        gt = g_ref[0]
+
+        @pl.when(jnp.logical_and(ni == 0, hi == 0))
+        def _():
+            ddw_ref[...] = jnp.zeros_like(ddw_ref)
+            dpw_ref[...] = jnp.zeros_like(dpw_ref)
+
+        ht = jnp.maximum(xt, 0) if pre_relu else xt
+
+        # pointwise dgrad over the haloed rows (zero g halo → zero dd halo)
+        dd = jnp.dot(
+            gt.reshape(thh * w, f), pwt_ref[...],
+            preferred_element_type=jnp.float32,
+        ).reshape(thh, w, c)
+
+        # depthwise dgrad: flipped-kernel taps of dd
+        dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True)
+        if pre_relu:
+            dh = jnp.where(xt[d:d + th, :, :] > 0, dh, 0.0)
+        dx_ref[0] = dh.astype(dx_ref.dtype)
+
+        # depthwise wgrad: 9 taps of h against the center dd rows
+        ddc = dd[d:d + th, :, :]
+        for i in range(3):
+            rows = ht[i * d:i * d + th, :, :]
+            for j in range(3):
+                tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
+                ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
+
+        # pointwise wgrad: recompute d (rounded to bf16 exactly as the fwd)
+        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d)
+        db = dw32.astype(xp.dtype).reshape(th * w, c)
+        gc = gt[d:d + th, :, :].reshape(th * w, f)
+        dpw_ref[...] += lax.dot_general(
+            db, gc, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, nh),
+        in_specs=[
+            _halo_spec(th, d, w, c),
+            _halo_spec(th, d, w, f),
+            pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+            pl.BlockSpec((f, c), lambda ni, hi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
+            pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+            pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), xp.dtype),
+            jax.ShapeDtypeStruct((3, 3, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, f), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, gp, dwk, pwk_t)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_sepconv(x, dwk, pwk, pre_relu: bool = True, dilation: int = 1,
+                  interpret: bool = False):
+    """[relu →] depthwise3x3('same', dilation) → pointwise, one TPU kernel.
+
+    x: (N, H, W, C); dwk: (3, 3, C); pwk: (C, F).  Returns (N, H, W, F) in
+    x.dtype.  Parity target: the composition
+    ``conv1x1(depthwise3x3(relu(x), 'same'), pw)`` of ops/depthwise.py +
+    lax conv (reference semantics: ``SeparableConv2d_same``,
+    deeplab_xception.py:54-66, preceded by the rep ReLU at :79).
+    """
+    return _fwd_pallas(_pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu,
+                       dilation=dilation, interpret=interpret)
+
+
+def _fs_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
+    xp = _pad_h(x, dilation)
+    y = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+                    interpret=interpret)
+    # save the PADDED activation: the backward consumes it directly (no
+    # re-pad) and XLA dedups it with the forward's pad
+    return y, (xp, dwk, pwk)
+
+
+def _fs_bwd(pre_relu, dilation, interpret, res, g):
+    xp, dwk, pwk = res
+    dx, ddw, dpw = _bwd_pallas(
+        xp, _pad_h(g.astype(xp.dtype), dilation), dwk, pwk.T,
+        pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+    )
+    return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
+
+
+fused_sepconv.defvjp(_fs_fwd, _fs_bwd)

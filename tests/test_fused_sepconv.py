@@ -1,0 +1,156 @@
+"""Parity tests for the fused [relu→]depthwise→pointwise Pallas kernel.
+
+Compares forward values AND all gradients (dx, d_dw, d_pw) against the
+unfused composition the model uses today (ops/depthwise.py depthwise3x3 +
+lax 1x1 conv), in Pallas interpret mode on CPU.  Shapes exercise: multiple
+row tiles, a single row tile (nh==1), non-128 channel counts, C != F,
+dilation 2, and pre_relu on/off.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv
+from deepcam_tpu.models.layers import fixed_padding
+
+
+def _reference(x, dwk, pwk, pre_relu, dilation):
+    """The unfused XLA path: [relu →] depthwise 'same' → pointwise."""
+    from jax import lax
+
+    if pre_relu:
+        x = jnp.maximum(x, 0)
+    pad = fixed_padding(3, dilation)
+    y = lax.conv_general_dilated(
+        x, dwk[:, :, None, :],
+        window_strides=(1, 1), padding=(pad, pad),
+        rhs_dilation=(dilation, dilation),
+        feature_group_count=x.shape[-1],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return lax.conv_general_dilated(
+        y, pwk[None, None],
+        window_strides=(1, 1), padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+CASES = [
+    # (N, H, W, C, F, pre_relu, dilation)
+    (2, 16, 12, 16, 24, True, 1),    # multi-tile rows, C != F
+    (1, 8, 12, 8, 8, True, 1),       # nh == 1 (whole image in one tile)
+    (2, 12, 10, 24, 16, False, 1),   # no relu
+    (1, 16, 12, 16, 16, True, 2),    # dilation 2 (exit-flow case)
+    (1, 24, 9, 40, 16, True, 1),     # odd W, C not a lane multiple
+]
+
+
+@pytest.mark.parametrize("n,h,w,c,f,pre_relu,dilation", CASES)
+def test_forward_parity(n, h, w, c, f, pre_relu, dilation):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+    pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+
+    got = fused_sepconv(x, dwk, pwk, pre_relu, dilation, True)
+    want = _reference(x, dwk, pwk, pre_relu, dilation)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,h,w,c,f,pre_relu,dilation", CASES)
+def test_gradient_parity(n, h, w, c, f, pre_relu, dilation):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+    pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+    ct = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+
+    def loss_fused(x, dwk, pwk):
+        return jnp.sum(fused_sepconv(x, dwk, pwk, pre_relu, dilation, True)
+                       * ct)
+
+    def loss_ref(x, dwk, pwk):
+        return jnp.sum(_reference(x, dwk, pwk, pre_relu, dilation) * ct)
+
+    gx, gdw, gpw = jax.grad(loss_fused, argnums=(0, 1, 2))(x, dwk, pwk)
+    rx, rdw, rpw = jax.grad(loss_ref, argnums=(0, 1, 2))(x, dwk, pwk)
+
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gdw), np.asarray(rdw),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gpw), np.asarray(rpw),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_forward_close():
+    """bf16 in/out matches the bf16 unfused path within bf16 tolerance."""
+    rng = np.random.RandomState(2)
+    n, h, w, c, f = 2, 16, 12, 16, 16
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.bfloat16)
+    dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.bfloat16)
+    pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.bfloat16)
+
+    got = fused_sepconv(x, dwk, pwk, True, 1, True).astype(jnp.float32)
+    want = _reference(x, dwk, pwk, True, 1).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)
+
+
+class TestModelWiring:
+    """The fused path through the real flax modules: identical param tree,
+    matching outputs and grads vs the unfused path (interpret mode, small
+    XceptionBlock)."""
+
+    def _block(self):
+        from deepcam_tpu.models.xception import XceptionBlock
+
+        return XceptionBlock(out_ch=16, reps=3, stride=1, dtype=jnp.float32)
+
+    def _run(self, impl):
+        from deepcam_tpu.models import layers
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 8, 12, 16), jnp.float32)
+        blk = self._block()
+        layers.set_sepconv_impl(impl)
+        try:
+            variables = blk.init(jax.random.PRNGKey(0), x, train=True)
+
+            def loss(params):
+                y, _ = blk.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(y * y), y
+
+            (l, y), grads = jax.value_and_grad(loss, has_aux=True)(
+                variables["params"])
+        finally:
+            layers.set_sepconv_impl("auto")
+        return variables, l, y, grads
+
+    def test_fused_matches_xla(self):
+        v_f, l_f, y_f, g_f = self._run("fused")
+        v_x, l_x, y_x, g_x = self._run("xla")
+
+        # identical parameter trees (same paths, shapes, AND init values)
+        flat_f = jax.tree_util.tree_leaves_with_path(v_f["params"])
+        flat_x = dict(jax.tree_util.tree_leaves_with_path(v_x["params"]))
+        assert len(flat_f) == len(flat_x)
+        for path, leaf in flat_f:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(flat_x[path]))
+
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                                   rtol=1e-5, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
+            g_f, g_x,
+        )
