@@ -31,7 +31,11 @@ def build_optimizer(
       before the moment updates.
     * ``AdamW`` → decoupled weight decay (torch.optim.AdamW / optax.adamw).
     * ``LAMB``  → layerwise-adaptive trust-ratio Adam (apex FusedLAMB
-      semantics; optax.lamb) for large-batch scaling.
+      semantics) for large-batch scaling.  apex FusedLAMB pre-scales grads
+      by ``1/max(1, global_grad_norm)`` (``max_grad_norm=1.0`` default) —
+      optax.lamb does not, so it is chained behind clip_by_global_norm.
+      Update math verified per-step against a numpy port of the apex
+      kernel in tests/test_lamb_golden.py.
     """
     if name == "Adam":
         return optax.chain(
@@ -44,7 +48,11 @@ def build_optimizer(
             learning_rate, b1=0.9, b2=0.999, eps=eps, weight_decay=weight_decay
         )
     if name == "LAMB":
-        return optax.lamb(
-            learning_rate, b1=0.9, b2=0.999, eps=eps, weight_decay=weight_decay
+        return optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.lamb(
+                learning_rate, b1=0.9, b2=0.999, eps=eps,
+                weight_decay=weight_decay,
+            ),
         )
     raise NotImplementedError(f"Error, optimizer {name} not supported")
