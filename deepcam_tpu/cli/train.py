@@ -79,6 +79,11 @@ def build_parser() -> ap.ArgumentParser:
                     help="rematerialize middle-flow activations to save HBM")
     AP.add_argument("--eval_local_batch_size", type=int, default=1,
                     help="Per-chip validation batch (semantics stay per-sample)")
+    AP.add_argument("--spatial", type=int, default=1,
+                    help="Spatial partitioning factor: each sample's H dim is "
+                         "sharded over this many ICI-neighbor chips (GSPMD "
+                         "path, sync-BN semantics); 1 = pure data parallel "
+                         "(shard_map path, reference DDP parity)")
     return AP
 
 
@@ -107,6 +112,16 @@ def main(pargs) -> dict:
     comm_size = meshlib.get_size()
     n_chips = jax.device_count()
     n_local = jax.local_device_count()
+
+    spatial = pargs.spatial
+    if spatial > 1 and n_local % spatial != 0:
+        raise ValueError(
+            f"--spatial {spatial} must divide the per-host chip count "
+            f"({n_local}) so each spatial group stays on one host's ICI"
+        )
+    # chips per data replica; batch sizes below are per data REPLICA
+    n_replicas = n_chips // spatial
+    n_local_replicas = max(n_local // spatial, 1)
 
     pargs.logging_frequency = max(pargs.logging_frequency, 1)
     log_file = os.path.normpath(
@@ -157,7 +172,7 @@ def main(pargs) -> dict:
         },
     )
 
-    global_batch_size = pargs.local_batch_size * n_chips
+    global_batch_size = pargs.local_batch_size * n_replicas
     logger.log_event(key="global_batch_size", value=global_batch_size)
     logger.log_event(key="opt_name", value=pargs.optimizer)
     logger.log_event(
@@ -198,13 +213,13 @@ def main(pargs) -> dict:
     )
     h, w = train_set.data_shape[0], train_set.data_shape[1]
 
-    host_batch = pargs.local_batch_size * n_local
+    host_batch = pargs.local_batch_size * n_local_replicas
     train_loader = DataLoader(
         train_set, host_batch,
         num_workers=min(pargs.max_inter_threads * n_local, host_batch),
         drop_last=True,
     )
-    eval_host_batch = pargs.eval_local_batch_size * n_local
+    eval_host_batch = pargs.eval_local_batch_size * n_local_replicas
     validation_loader = DataLoader(
         validation_set, eval_host_batch,
         num_workers=min(pargs.max_inter_threads * n_local, eval_host_batch),
@@ -215,7 +230,7 @@ def main(pargs) -> dict:
     if pargs.max_validation_steps is not None:
         val_size = min(
             validation_set.global_size,
-            pargs.max_validation_steps * pargs.eval_local_batch_size * n_chips,
+            pargs.max_validation_steps * pargs.eval_local_batch_size * n_replicas,
         )
     else:
         val_size = validation_set.global_size
@@ -246,8 +261,12 @@ def main(pargs) -> dict:
     if pargs.checkpoint:
         state, start_epoch = restore_checkpoint(pargs.checkpoint, state)
 
-    mesh = meshlib.make_mesh(spatial=1)
+    mesh = meshlib.make_mesh(spatial=spatial)
     data_sharding = meshlib.batch_sharding(mesh)
+    # 1-D per-sample arrays (the eval validity mask) shard over 'data' only
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    valid_sharding = NamedSharding(mesh, P("data"))
 
     # With bf16 compute the model's first op casts the input anyway
     # (deeplab.py: x.astype(dtype)); casting on the HOST instead halves the
@@ -263,10 +282,29 @@ def main(pargs) -> dict:
         for data, label, names in it:
             yield cast_input(data), label, names
     weights = list(class_weights(pargs.loss_weight_pow))
-    train_step = make_train_step(
-        model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2, remat=pargs.remat
-    )
-    eval_step = make_eval_step(model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2)
+    if spatial > 1:
+        # data x spatial via the SPMD partitioner (sync-BN semantics —
+        # parallel/gspmd.py docstring); shard_map path keeps DDP parity
+        from ..parallel.gspmd import (
+            make_eval_step_gspmd,
+            make_train_step_gspmd,
+        )
+
+        train_step = make_train_step_gspmd(
+            model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
+            remat=pargs.remat,
+        )
+        eval_step = make_eval_step_gspmd(
+            model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
+        )
+    else:
+        train_step = make_train_step(
+            model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
+            remat=pargs.remat,
+        )
+        eval_step = make_eval_step(
+            model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
+        )
 
     # jitted prediction for visualization (reference plots the current batch's
     # argmax at training_visualization_frequency, train_hdf5_ddp.py:374-394)
@@ -342,7 +380,7 @@ def main(pargs) -> dict:
             seen_local += n
             d = meshlib.put_global(cast_input(data), data_sharding)
             l = meshlib.put_global(label, data_sharding)
-            v = meshlib.put_global(valid, data_sharding)
+            v = meshlib.put_global(valid, valid_sharding)
             c, ls, isum = eval_step(state, d, l, v)
             count += float(c); loss_sum += float(ls); iou_sum += float(isum)
             if (

@@ -105,3 +105,48 @@ def make_train_step_gspmd(
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_eval_step_gspmd(
+    model,
+    class_weights: Sequence[Any],
+    mesh: Mesh,
+    fpw_1: float = 0.0,
+    fpw_2: float = 0.0,
+):
+    """GSPMD eval step over Mesh('data', 'spatial').
+
+    Same contract as ``train.trainer.make_eval_step``:
+    ``eval_fn(state, x, y, valid) -> (count, loss_sum, iou_sum)`` with
+    per-*sample* loss/IoU (reference batch-1 eval semantics,
+    train_hdf5_ddp.py:430-494) and a {0,1} validity mask.  The code is
+    written globally; the SPMD partitioner inserts the halo exchanges for
+    the spatially sharded convs and the cross-shard reductions.
+    """
+
+    def eval_fn(state: TrainState, x, y, valid):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        n_classes = logits.shape[-1]
+
+        def sample_loss(lg, lb):
+            return weighted_ce_loss(lg, lb, class_weights, fpw_1, fpw_2)
+
+        losses = jax.vmap(sample_loss)(logits, y)
+        preds = argmax_channels(logits)
+        from ..train.metrics import per_sample_iou
+
+        ious = per_sample_iou(preds, y, n_classes)
+        v = valid.astype(jnp.float32)
+        return jnp.sum(v), jnp.sum(losses * v), jnp.sum(ious * v)
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, batch_spec(mesh))
+    valid_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        eval_fn,
+        in_shardings=(repl, data_sh, data_sh, valid_sh),
+        out_shardings=(repl, repl, repl),
+    )

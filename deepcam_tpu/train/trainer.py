@@ -164,9 +164,12 @@ def make_eval_step(
         ious = per_sample_iou(preds, y, n_classes)
 
         v = valid.astype(jnp.float32)
-        count = lax.psum(jnp.sum(v), ("data", "spatial"))
-        loss_sum = lax.psum(jnp.sum(losses * v), ("data", "spatial"))
-        iou_sum = lax.psum(jnp.sum(ious * v), ("data", "spatial"))
+        # psum over 'data' ONLY: the in_specs shard the batch over 'data'
+        # and replicate it over 'spatial', so including 'spatial' in the
+        # reduction would scale count/sums by the spatial factor
+        count = lax.psum(jnp.sum(v), "data")
+        loss_sum = lax.psum(jnp.sum(losses * v), "data")
+        iou_sum = lax.psum(jnp.sum(ious * v), "data")
         return count, loss_sum, iou_sum
 
     sharded = jax.shard_map(
