@@ -446,6 +446,12 @@ def main(pargs) -> dict:
                      "learning_rate": current_lr},
                     step,
                 )
+                # wandb.watch analogue (train_hdf5_ddp.py:326): per-layer
+                # parameter histograms at 10x the scalar cadence (matching
+                # watch's sparser default log_freq); gradients stay inside
+                # the jitted step, so only params are sampled
+                if step % (10 * pargs.logging_frequency) == 0:
+                    wb.watch(state.params, None, step)
 
             if step % pargs.validation_frequency == 0:
                 eval_loss, eval_iou = run_validation(state, epoch, step)

@@ -67,3 +67,30 @@ class WandbLogger:
             _wandb.log(
                 {key: [_wandb.Image(path, caption=caption)]}, step=step
             )
+
+    def watch(self, params: Any, grads: Optional[Any], step: int):
+        """Parameter / gradient histograms — the functional analogue of the
+        reference's ``wandb.watch(net)`` (train_hdf5_ddp.py:326), which
+        hooks torch modules to log per-layer histograms.  JAX has no module
+        hooks; instead the driver passes the param pytree (and, when
+        available, the grad pytree) and we log one histogram per leaf at
+        the same cadence wandb.watch uses (the log frequency)."""
+        if not self.active:
+            return
+        import jax
+        import numpy as np
+
+        payload = {}
+        for prefix, tree in (("parameters", params), ("gradients", grads)):
+            if tree is None:
+                continue
+            for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                name = "/".join(
+                    getattr(p, "key", getattr(p, "name", str(p)))
+                    for p in path
+                )
+                payload[f"{prefix}/{name}"] = _wandb.Histogram(
+                    np.asarray(leaf, np.float32).ravel()
+                )
+        if payload:
+            _wandb.log(payload, step=step)
