@@ -61,3 +61,25 @@ def test_roofline_plot(tmp_path):
         output_path=out,
     )
     assert os.path.getsize(out) > 5000
+
+
+def test_committed_convergence_log_reaches_target():
+    """The committed round-2 convergence run (synthetic 64x96, LAMB +
+    warmup + multistep on the 8-device mesh) must parse and show
+    target_accuracy_reached — the reference's acceptance criterion
+    (train_hdf5_ddp.py:505-507)."""
+    import os
+
+    from deepcam_tpu.obs.analysis import run_summary
+
+    log = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "analysis", "convergence_r2.log",
+    )
+    s = run_summary(log)
+    assert s["target_accuracy_reached"] is True
+    assert s["target_step"] == 96
+    assert len(s["eval_accuracy"]) == 3
+    # eval IoU increased monotonically to the 0.6 target
+    ious = [v for _, _, v in s["eval_accuracy"]]
+    assert ious == sorted(ious) and ious[-1] >= 0.6
