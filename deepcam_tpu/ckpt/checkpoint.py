@@ -11,12 +11,21 @@ reads the same file (all state is replicated under data parallelism, so this
 is exact).  There is no apex-amp state: bf16 needs no loss scale.  The LR
 schedule is a pure function of ``step``, so no scheduler state is saved
 (SURVEY.md §2.3.10).
+
+``AsyncCheckpointWriter`` removes the save stall from the step loop: the
+synchronous path device_gets ~0.5 GB through the host every
+``save_frequency`` steps; the async writer snapshots the (immutable) device
+arrays and runs the fetch + serialize + atomic-rename on a worker thread,
+so training continues while the previous checkpoint drains.  One in-flight
+save at a time (a newer save waits for the older, preserving publish
+order); ``wait()`` drains the queue at run end and re-raises worker errors.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Tuple
+import threading
+from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
@@ -50,6 +59,50 @@ def save_checkpoint(
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)  # atomic publish
+
+
+class AsyncCheckpointWriter:
+    """Background-thread checkpoint writer (one in-flight save).
+
+    JAX arrays are immutable, so snapshotting the state pytree by reference
+    is safe even though training keeps stepping (donated buffers produce
+    NEW arrays; the captured ones are left intact until the fetch
+    completes).  The worker performs the same device_get + msgpack +
+    atomic-rename as ``save_checkpoint``.
+    """
+
+    def __init__(self, process_index: Optional[int] = None):
+        self._proc = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, state: TrainState, epoch: int) -> None:
+        if self._proc != 0:
+            return
+        self.wait()  # one in-flight save; keeps publish order
+
+        def work():
+            try:
+                save_checkpoint(path, state, epoch, process_index=0)
+            except BaseException as e:  # surfaced by wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=work, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) has published; re-raise
+        any worker failure."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:

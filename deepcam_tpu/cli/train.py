@@ -79,6 +79,10 @@ def build_parser() -> ap.ArgumentParser:
                     help="rematerialize middle-flow activations to save HBM")
     AP.add_argument("--eval_local_batch_size", type=int, default=1,
                     help="Per-chip validation batch (semantics stay per-sample)")
+    AP.add_argument("--async_checkpoint", action="store_true",
+                    help="write checkpoints from a background thread so the "
+                         "step loop never stalls on the ~0.5 GB host fetch "
+                         "(save_stop then logs the enqueue, not the publish)")
     AP.add_argument("--spatial", type=int, default=1,
                     help="Spatial partitioning factor: each sample's H dim is "
                          "sharded over this many ICI-neighbor chips (GSPMD "
@@ -92,7 +96,12 @@ def main(pargs) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from ..ckpt.checkpoint import checkpoint_path, restore_checkpoint, save_checkpoint
+    from ..ckpt.checkpoint import (
+        AsyncCheckpointWriter,
+        checkpoint_path,
+        restore_checkpoint,
+        save_checkpoint,
+    )
     from ..core import mesh as meshlib
     from ..data.dataset import CamDataset
     from ..data.pipeline import DataLoader, prefetch_to_device
@@ -346,6 +355,8 @@ def main(pargs) -> dict:
     # place state on the mesh (replicated)
     state = jax.device_put(state, meshlib.replicated(mesh))
 
+    ckpt_writer = AsyncCheckpointWriter() if pargs.async_checkpoint else None
+
     step = int(state.step)
     epoch = start_epoch
     current_lr = float(lr_sched(step))
@@ -461,10 +472,13 @@ def main(pargs) -> dict:
                 logger.log_start(key="save_start",
                                  metadata={"epoch_num": epoch + 1, "step_num": step},
                                  sync=True)
-                save_checkpoint(
-                    checkpoint_path(pargs.output_dir, pargs.model_prefix, step),
-                    state, epoch,
+                cpath = checkpoint_path(
+                    pargs.output_dir, pargs.model_prefix, step
                 )
+                if ckpt_writer is not None:
+                    ckpt_writer.save(cpath, state, epoch)
+                else:
+                    save_checkpoint(cpath, state, epoch)
                 logger.log_end(key="save_stop",
                                metadata={"epoch_num": epoch + 1, "step_num": step},
                                sync=True)
@@ -478,6 +492,8 @@ def main(pargs) -> dict:
         if epoch >= pargs.max_epochs or stop_training:
             break
 
+    if ckpt_writer is not None:
+        ckpt_writer.wait()  # publish the last checkpoint before run_stop
     logger.log_end(key="run_stop", sync=True, metadata={"status": "success"})
     logger.close()
     final_metrics.update(

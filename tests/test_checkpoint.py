@@ -14,6 +14,20 @@ from deepcam_tpu.train.optim import build_optimizer
 from deepcam_tpu.train.trainer import create_train_state
 
 
+def _tiny_state():
+    """Small deterministic TrainState for writer tests."""
+    from deepcam_tpu.train.trainer import TrainState
+
+    tx = build_optimizer("Adam", 1e-3)
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    return TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params=params,
+        batch_stats={"m": jnp.zeros((3,))},
+        opt_state=tx.init(params),
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
     x = jnp.zeros((1, 32, 48, 16), jnp.float32)
@@ -56,3 +70,57 @@ def test_nonzero_process_does_not_write(tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_async_writer_matches_sync(tmp_path):
+    """AsyncCheckpointWriter publishes the same bytes as save_checkpoint
+    and wait() blocks until the file is on disk."""
+    import os
+
+    from deepcam_tpu.ckpt.checkpoint import (
+        AsyncCheckpointWriter,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = _tiny_state()
+    sync_path = os.path.join(str(tmp_path), "sync.cpt")
+    async_path = os.path.join(str(tmp_path), "async.cpt")
+    save_checkpoint(sync_path, state, epoch=3, process_index=0)
+
+    w = AsyncCheckpointWriter(process_index=0)
+    w.save(async_path, state, epoch=3)
+    w.wait()
+    assert os.path.exists(async_path)
+    with open(sync_path, "rb") as a, open(async_path, "rb") as b:
+        assert a.read() == b.read()
+
+    restored, epoch = restore_checkpoint(async_path, _tiny_state())
+    assert epoch == 3
+
+
+def test_async_writer_nonzero_rank_writes_nothing(tmp_path):
+    import os
+
+    from deepcam_tpu.ckpt.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter(process_index=1)
+    p = os.path.join(str(tmp_path), "x.cpt")
+    w.save(p, _tiny_state(), epoch=0)
+    w.wait()
+    assert not os.path.exists(p)
+
+
+def test_async_writer_surfaces_errors(tmp_path):
+    import os
+
+    import pytest
+
+    from deepcam_tpu.ckpt.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter(process_index=0)
+    bad = os.path.join(str(tmp_path), "no", "such", "dir", "x.cpt")
+    w.save(bad, _tiny_state(), epoch=0)
+    with pytest.raises(Exception):
+        w.wait()
+    w.wait()  # error is consumed; writer is reusable
