@@ -363,9 +363,11 @@ def _fused_sepconv_active() -> Tuple[bool, bool]:
         on_tpu = False
     if _SEPCONV_IMPL == "fused":
         return True, not on_tpu
-    if os.environ.get("DEEPCAM_FUSED_SEPCONV") == "0":
-        return False, False
-    return on_tpu, False
+    # auto: opt-in on TPU until the whole-model A/B validates the kernel
+    # end-to-end on hardware (flip to on-by-default then)
+    if os.environ.get("DEEPCAM_FUSED_SEPCONV") == "1":
+        return on_tpu, False
+    return False, False
 
 
 class _KernelParam(nn.Module):
