@@ -523,13 +523,19 @@ class SeparableConv2dSame(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import os
+
         in_ch = x.shape[-1]
         fused, interpret = _fused_sepconv_active()
+        # the kernel wins where the backward dominates (wide channels);
+        # XLA keeps the lane-starved entry shapes (measured: PERF.md r2)
+        min_ch = int(os.environ.get("DEEPCAM_FUSED_MIN_CH", "0"))
         if (
             fused
             and self.kernel_size == 3
             and self.stride == 1
             and not self.use_bias
+            and in_ch >= min_ch
         ):
             from ..ops.pallas.fused_sepconv import fused_sepconv
 

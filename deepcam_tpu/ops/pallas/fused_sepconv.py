@@ -63,8 +63,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_row_tile(h: int, target: int = 8) -> int:
-    """Largest divisor of h that is <= target (grid rows per step)."""
+def _pick_row_tile(h: int, target: int = 0) -> int:
+    """Largest divisor of h that is <= target (grid rows per step).
+    Default target comes from DEEPCAM_FUSED_TH (8) — a tuning knob:
+    bigger tiles amortize per-grid-step overhead against VMEM."""
+    if target <= 0:
+        import os
+
+        target = int(os.environ.get("DEEPCAM_FUSED_TH", "8"))
     for t in range(min(target, h), 0, -1):
         if h % t == 0:
             return t
@@ -190,7 +196,9 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         # depthwise dgrad: flipped-kernel taps of dd
         dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True)
         if pre_relu:
-            dh = jnp.where(xt[d:d + th, :, :] > 0, dh, 0.0)
+            # fp32 compare: Mosaic can't lower a bf16 cmpf at this layout
+            xc = xt[d:d + th, :, :].astype(jnp.float32)
+            dh = jnp.where(xc > 0, dh, 0.0)
         dx_ref[0] = dh.astype(dx_ref.dtype)
 
         # depthwise wgrad: 9 taps of h against the center dd rows
