@@ -11,9 +11,12 @@ set -euo pipefail
 DATA_DIR=${DATA_DIR:-/data/deepcam}          # contains train/ validation/ stats.h5
 OUTPUT_DIR=${OUTPUT_DIR:-/results/deepcam}
 RUN_TAG=${RUN_TAG:-deepcam_v5e_$(date +%Y%m%d%H%M)}
+SPATIAL=${SPATIAL:-1}          # >1 shards each sample's H over ICI neighbors
 
 python -m deepcam_tpu.cli.train \
     --wireup_method "auto" \
+    --spatial "${SPATIAL}" \
+    --async_checkpoint \
     --run_tag "${RUN_TAG}" \
     --data_dir_prefix "${DATA_DIR}" \
     --output_dir "${OUTPUT_DIR}" \
