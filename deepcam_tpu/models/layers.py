@@ -363,11 +363,12 @@ def _fused_sepconv_active() -> Tuple[bool, bool]:
         on_tpu = False
     if _SEPCONV_IMPL == "fused":
         return True, not on_tpu
-    # auto: opt-in on TPU until the whole-model A/B validates the kernel
-    # end-to-end on hardware (flip to on-by-default then)
-    if os.environ.get("DEEPCAM_FUSED_SEPCONV") == "1":
-        return on_tpu, False
-    return False, False
+    # auto: ON for TPU — hardware-validated (fwd bit-exact, grads within
+    # bf16 tolerance) and a 1.15x whole-model train-step win (PERF.md r2);
+    # DEEPCAM_FUSED_SEPCONV=0 opts out
+    if os.environ.get("DEEPCAM_FUSED_SEPCONV") == "0":
+        return False, False
+    return on_tpu, False
 
 
 class _KernelParam(nn.Module):

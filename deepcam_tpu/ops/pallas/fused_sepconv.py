@@ -63,18 +63,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_row_tile(h: int, target: int = 0) -> int:
-    """Largest divisor of h that is <= target (grid rows per step).
-    Default target comes from DEEPCAM_FUSED_TH (8) — a tuning knob:
-    bigger tiles amortize per-grid-step overhead against VMEM."""
-    if target <= 0:
-        import os
+def _pick_row_tile(h: int, w: int, c: int, f: int, d: int) -> int:
+    """Rows per grid step: the largest divisor of h whose estimated
+    backward working set fits the VMEM budget.
 
-        target = int(os.environ.get("DEEPCAM_FUSED_TH", "8"))
-    for t in range(min(target, h), 0, -1):
-        if h % t == 0:
-            return t
-    return 1
+    Bigger tiles measurably win up to 16 rows (whole-model sweep, PERF.md
+    r2: th=8 131 ms, th=16 117.9 ms — fewer grid steps, fewer weight/
+    accumulator refetches), but 24+-row tiles compile-fail or lose (96 MB
+    budget → Mosaic OOM).  Defaults reproduce the measured winner: cap 16
+    (DEEPCAM_FUSED_TH), 96 MB estimate budget (DEEPCAM_FUSED_VMEM_MB) that
+    only reins in pathological shapes."""
+    import os
+
+    cap = int(os.environ.get("DEEPCAM_FUSED_TH", "16"))
+    budget = int(os.environ.get("DEEPCAM_FUSED_VMEM_MB", "96")) << 20
+
+    def est_bytes(t: int) -> int:
+        thh = t + 2 * d
+        cl = -(-c // 128) * 128  # lane-padded
+        fl = -(-f // 128) * 128
+        f32, bf16 = 4, 2
+        return (
+            f32 * thh * w * cl          # dd (pointwise dgrad)
+            + f32 * t * w * cl          # dh accumulator
+            + f32 * t * w * max(cl, fl)  # live tap temporary
+            + f32 * t * w * cl          # recomputed dw32
+            + bf16 * 2 * thh * w * (cl + fl)  # xs, gs double-buffered
+            + f32 * cl * fl + bf16 * cl * fl  # dpw acc + pw^T
+            + bf16 * 2 * t * w * cl     # dx out double-buffered
+        )
+
+    best = 1
+    for t in range(1, min(cap, h) + 1):
+        if h % t == 0 and est_bytes(t) <= budget:
+            best = t
+    return best
 
 
 def _shift_w(t, o):
@@ -128,7 +151,7 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     f = pwk.shape[-1]
     d = dilation
     h = hp - 2 * d
-    th = _pick_row_tile(h)
+    th = _pick_row_tile(h, w, c, f, d)
     nh = h // th
 
     def kernel(x_ref, dwk_ref, pwk_ref, out_ref):
@@ -170,7 +193,7 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     f = pwk_t.shape[0]
     d = dilation
     h = hp - 2 * d
-    th = _pick_row_tile(h)
+    th = _pick_row_tile(h, w, c, f, d)
     nh = h // th
     thh = th + 2 * d
 
