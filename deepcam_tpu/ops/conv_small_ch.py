@@ -26,6 +26,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _use_pallas_wgrad() -> bool:
+    import os
+
+    if os.environ.get("DEEPCAM_PALLAS_CWGRAD") == "0":
+        return False
+    if os.environ.get("DEEPCAM_PALLAS_CWGRAD") == "1":
+        pass  # forced on (still requires TPU below)
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _conv(x, k, stride):
     return lax.conv_general_dilated(
         x, k, (stride, stride), ((1, 1), (1, 1)),
@@ -65,7 +78,15 @@ def _bwd(stride, res, g):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    # wgrad: per-tap strided slice of padded x contracted with g on the MXU
+    # wgrad: single-residency Pallas kernel on TPU (all nine taps from one
+    # window per grid step — the slice form re-reads x ~9x, ~13 ms/step of
+    # slices in the fused-model trace); slice-form einsums elsewhere
+    if _use_pallas_wgrad():
+        from .pallas.conv_wgrad import conv3x3_wgrad_pallas
+
+        dk = conv3x3_wgrad_pallas(x, g, stride=stride).astype(kernel.dtype)
+        return dx.astype(x.dtype), dk
+
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     oh, ow = g.shape[1], g.shape[2]
     g32 = g.astype(jnp.float32)
