@@ -179,13 +179,30 @@ class Conv2d(nn.Module):
             and self.padding == 1
             and _to_pair(self.stride)[0] in (1, 2)
         ):
-            from ..ops.conv_small_ch import conv3x3_small_ch
-
-            y = conv3x3_small_ch(
-                x.astype(self.dtype),
-                kernel.astype(self.dtype),
-                _to_pair(self.stride)[0],
+            from ..ops.conv_small_ch import (
+                _use_s2d,
+                conv3x3_small_ch,
+                conv3x3s2_s2d,
             )
+
+            stride = _to_pair(self.stride)[0]
+            if (
+                stride == 2
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+                and _use_s2d()
+            ):
+                # space-to-depth form: same math, TPU-friendly layout
+                # (ops/conv_small_ch.py)
+                y = conv3x3s2_s2d(
+                    x.astype(self.dtype), kernel.astype(self.dtype)
+                )
+            else:
+                y = conv3x3_small_ch(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    stride,
+                )
             if self.use_bias:
                 fan_in = in_ch * kh * kw
                 bias = self.param(
@@ -225,6 +242,11 @@ class ConvTranspose2d(nn.Module):
       v5e it does NOT beat the dilated schedule (XLA:TPU already handles
       lhs_dilation well for these shapes, and the phase-interleave transpose
       costs more than the zero-skipping saves), so 'dilated' is the default.
+    * ``method='d2s'``: ONE dense 2x2/stride-1 conv emitting all four phases
+      as Cout·4 channels (zero-padded taps) + a single depth-to-space — the
+      polyphase math with full MXU utilization and one formatting op instead
+      of four convs and a stack.  Backward is a standard stride-1 conv VJP at
+      input resolution.
 
     For the decoder's k=3, s=2, p=1, op=1 this is an exact x2 upsample,
     matching the reference deconvs (``deeplab_xception.py:352-374``).
@@ -239,7 +261,8 @@ class ConvTranspose2d(nn.Module):
     kernel_init: Callable = torch_default_convT_kernel_init()
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
-    method: str = "dilated"
+    # None → resolve at call time from DEEPCAM_DECONV (default 'dilated')
+    method: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -254,15 +277,19 @@ class ConvTranspose2d(nn.Module):
         k = jnp.flip(kernel, axis=(0, 1)).astype(self.dtype)
         xc = x.astype(self.dtype)
 
-        use_poly = (
-            self.method == "polyphase"
-            and (kh, kw) == (3, 3)
+        import os
+
+        method = self.method or os.environ.get("DEEPCAM_DECONV", "dilated")
+        is_k3s2 = (
+            (kh, kw) == (3, 3)
             and (sh, sw) == (2, 2)
             and (ph, pw) == (1, 1)
             and (oph, opw) == (1, 1)
         )
-        if use_poly:
+        if method == "polyphase" and is_k3s2:
             y = self._polyphase_k3s2(xc, k)
+        elif method == "d2s" and is_k3s2:
+            y = self._d2s_k3s2(xc, k)
         else:
             pad = (
                 (kh - 1 - ph, kh - 1 - ph + oph),
@@ -325,6 +352,51 @@ class ConvTranspose2d(nn.Module):
         y = y.transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(n, 2 * h, 2 * w, o)
 
+    def _d2s_k3s2(self, x: Array, K: Array) -> Array:
+        """k3/s2/p1/op1 transposed conv as ONE 2x2/s1 conv + depth-to-space.
+
+        Same phase math as ``_polyphase_k3s2`` (see its derivation), but the
+        four phases are emitted as 4·O output channels of a single dense
+        2x2 conv over taps X[i..i+1] (padding (0,1) per dim), with zeros in
+        the kernel where a phase has no tap:
+
+            out[2i+a, 2j+b] = y4[i, j, (a, b)]
+            y4 tap (dh, dw) for phase (a, b) = K[r(dh,a), c(dw,b)]
+            r(0,0)=1  r(0,1)=0  r(1,1)=2  r(1,0)=∅ (zero)
+
+        16 tap-slots hold the 9 real taps → 1.78x the MACs of the minimal
+        schedule, but as one MXU-dense I→4O contraction; the backward is a
+        plain stride-1 conv VJP at input resolution.  ``K`` is the spatially
+        flipped kernel (correlation orientation).
+        """
+        n, h, w, in_ch = x.shape
+        o = self.features
+        sel = {(0, 0): 1, (0, 1): 0, (1, 1): 2}  # (tap, phase) → K index
+        zero = jnp.zeros_like(K[0, 0])
+
+        def tap(dh, a, dw, b):
+            if (dh, a) in sel and (dw, b) in sel:
+                return K[sel[(dh, a)], sel[(dw, b)]]
+            return zero
+
+        k2 = jnp.stack([
+            jnp.stack([
+                jnp.stack([
+                    jnp.stack([tap(dh, a, dw, b) for b in range(2)])
+                    for a in range(2)
+                ])
+                for dw in range(2)
+            ])
+            for dh in range(2)
+        ])  # (dh, dw, a, b, I, O)
+        k2 = k2.transpose(0, 1, 4, 2, 3, 5).reshape(2, 2, in_ch, 4 * o)
+        y4 = lax.conv_general_dilated(
+            x, k2, (1, 1), ((0, 1), (0, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (N, H, W, (a, b, O))
+        y = y4.reshape(n, h, w, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(n, 2 * h, 2 * w, o)
+
 
 # Depthwise lowering: 'conv_vjp' (default) = grouped conv forward + custom
 # hand-built backward (XLA's autodiff of grouped convs is ~4x off at high
@@ -349,6 +421,33 @@ def set_sepconv_impl(name: str) -> None:
 
 def get_sepconv_impl() -> str:
     return _SEPCONV_IMPL
+
+
+# Fold each rep-unit BatchNorm's APPLY into the next sepconv unit's kernel
+# (BatchNorm2d(fold=True) → SeparableConv2dSame(bn_fold=...)).  Numerics are
+# the identical bf16 FMA either way; the fold only moves the elementwise
+# apply (and its backward) out of separate HBM passes.  Opt-in
+# (DEEPCAM_BN_FOLD=1 or set_bn_fold(True)): whole-model A/B on v5e
+# (scripts/bnfold_ab.py) measured it NEUTRAL — 0.999x at batch 2, 1.004x at
+# batch 4 — XLA already overlaps the separate BN-apply pass with the
+# custom-call, so the fold buys nothing and costs compile time.
+_BN_FOLD = False
+
+
+def set_bn_fold(on: bool) -> None:
+    global _BN_FOLD
+    _BN_FOLD = bool(on)
+
+
+def bn_fold_active() -> bool:
+    import os
+
+    env = os.environ.get("DEEPCAM_BN_FOLD")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return _BN_FOLD
 
 
 def _fused_sepconv_active() -> Tuple[bool, bool]:
@@ -523,7 +622,12 @@ class SeparableConv2dSame(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, bn_fold=None) -> Array:
+        """``bn_fold`` (optional) is the ``(a, b)`` pair returned by the
+        preceding ``BatchNorm2d(..., fold=True)``: the BN-apply
+        ``x*a + b`` runs inside the fused kernel on TPU (one less HBM
+        round-trip per rep unit) and as the identical elementwise FMA on
+        the unfused path."""
         import os
 
         in_ch = x.shape[-1]
@@ -538,7 +642,10 @@ class SeparableConv2dSame(nn.Module):
             and not self.use_bias
             and in_ch >= min_ch
         ):
-            from ..ops.pallas.fused_sepconv import fused_sepconv
+            from ..ops.pallas.fused_sepconv import (
+                fused_sepconv,
+                fused_sepconv_affine,
+            )
 
             dwk = _KernelParam(
                 (3, 3, 1, in_ch), self.kernel_init, self.param_dtype,
@@ -548,6 +655,18 @@ class SeparableConv2dSame(nn.Module):
                 (1, 1, in_ch, self.features), self.kernel_init,
                 self.param_dtype, name="pointwise",
             )()
+            if bn_fold is not None:
+                a, b = bn_fold
+                return fused_sepconv_affine(
+                    x.astype(self.dtype),
+                    a.astype(self.dtype),
+                    b.astype(self.dtype),
+                    dwk[:, :, 0, :].astype(self.dtype),
+                    pwk[0, 0].astype(self.dtype),
+                    self.pre_relu,
+                    self.dilation,
+                    interpret,
+                )
             return fused_sepconv(
                 x.astype(self.dtype),
                 dwk[:, :, 0, :].astype(self.dtype),
@@ -555,6 +674,12 @@ class SeparableConv2dSame(nn.Module):
                 self.pre_relu,
                 self.dilation,
                 interpret,
+            )
+        if bn_fold is not None:
+            # unfused path: the BN-apply FMA, exactly as BatchNorm2d does it
+            a, b = bn_fold
+            x = x.astype(self.dtype) * a.astype(self.dtype) + b.astype(
+                self.dtype
             )
         if self.pre_relu:
             x = nn.relu(x)
@@ -624,7 +749,15 @@ class BatchNorm2d(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool) -> Array:
+    def __call__(self, x: Array, train: bool, fold: bool = False) -> Array:
+        """Normalize ``x`` (NHWC) over NHW.
+
+        With ``fold=True`` the apply is NOT materialized: the per-channel
+        coefficients ``(a, b)`` of ``y = x*a + b`` are returned (in
+        ``self.dtype``) for the consumer to fold into its own kernel —
+        statistics computation, running-stat updates, and the autodiff path
+        through mean/var are identical either way.
+        """
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
@@ -670,4 +803,6 @@ class BatchNorm2d(nn.Module):
         inv = lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)
         a = inv.astype(self.dtype)
         b = (bias.astype(jnp.float32) - mean * inv).astype(self.dtype)
+        if fold:
+            return a, b
         return x.astype(self.dtype) * a + b

@@ -26,6 +26,7 @@ from .layers import (
     BatchNorm2d,
     Conv2d,
     SeparableConv2dSame,
+    bn_fold_active,
     kaiming_normal_torch,
 )
 
@@ -84,6 +85,14 @@ class XceptionBlock(nn.Module):
         if not self.grow_first:
             units.append(self.out_ch)
 
+        # BN-apply folding: each rep BN whose only consumer is the NEXT
+        # sepconv in this chain hands its (a, b) into that unit's kernel
+        # instead of materializing the apply (layers.bn_fold_active()).  The
+        # chain-final BN feeds the residual add (or nothing follows), so it
+        # always applies normally.
+        fold = bn_fold_active()
+        has_tail = self.stride != 1 or self.is_last
+        ab = None
         for i, feat in enumerate(units):
             # the rep-unit ReLU (i > 0) is declared ON the sepconv so the
             # TPU path can fuse relu→dw→pw into one kernel; unit 0's ReLU is
@@ -96,8 +105,14 @@ class XceptionBlock(nn.Module):
                 pre_relu=i > 0,
                 dtype=self.dtype,
                 name=f"sepconv{i}",
-            )(x)
-            x = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(x, train)
+            )(x, bn_fold=ab)
+            if fold and (i < len(units) - 1 or has_tail):
+                ab = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(
+                    x, train, fold=True
+                )
+            else:
+                x = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(x, train)
+                ab = None
 
         if self.stride != 1:
             x = SeparableConv2dSame(
@@ -106,7 +121,7 @@ class XceptionBlock(nn.Module):
                 stride=2,
                 dtype=self.dtype,
                 name="sepconv_stride",
-            )(x)
+            )(x, bn_fold=ab)
         elif self.is_last:
             x = SeparableConv2dSame(
                 features=self.out_ch,
@@ -114,7 +129,7 @@ class XceptionBlock(nn.Module):
                 stride=1,
                 dtype=self.dtype,
                 name="sepconv_last",
-            )(x)
+            )(x, bn_fold=ab)
 
         if self.out_ch != in_ch or self.stride != 1:
             skip = Conv2d(
@@ -212,19 +227,29 @@ class Xception(nn.Module):
         x = SeparableConv2dSame(
             1536, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv3"
         )(x)
-        x = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train)
+        # bn3/bn4 feed only the next sepconv → fold their applies into it
+        fold = bn_fold_active()
+        ab = None
+        if fold:
+            ab = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train, fold=True)
+        else:
+            x = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train)
 
         # the inter-conv ReLUs are declared on the sepconvs (fusable on TPU)
         x = SeparableConv2dSame(
             1536, 3, stride=1, dilation=exit_block_rates[1], pre_relu=True,
             dtype=self.dtype, name="conv4"
-        )(x)
-        x = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train)
+        )(x, bn_fold=ab)
+        if fold:
+            ab = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train, fold=True)
+        else:
+            x = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train)
+            ab = None
 
         x = SeparableConv2dSame(
             2048, 3, stride=1, dilation=exit_block_rates[1], pre_relu=True,
             dtype=self.dtype, name="conv5"
-        )(x)
+        )(x, bn_fold=ab)
         x = BatchNorm2d(dtype=self.dtype, name="bn5")(x, train)
         x = nn.relu(x)
 

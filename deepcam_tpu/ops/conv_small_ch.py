@@ -27,12 +27,30 @@ from jax import lax
 
 
 def _use_pallas_wgrad() -> bool:
+    # Opt-in (DEEPCAM_PALLAS_CWGRAD=1): the Pallas single-residency wgrad
+    # kernel (ops/pallas/conv_wgrad.py) is correct but LOSES end-to-end on
+    # hardware — whole-model A/B (scripts/cwgrad_ab.py): batch 2 ~0.98x,
+    # batch 4 0.84x vs the slice-form einsums.  Same custom-call-boundary
+    # story as dw_wgrad (PERF.md).
     import os
 
-    if os.environ.get("DEEPCAM_PALLAS_CWGRAD") == "0":
+    if os.environ.get("DEEPCAM_PALLAS_CWGRAD") != "1":
         return False
-    if os.environ.get("DEEPCAM_PALLAS_CWGRAD") == "1":
-        pass  # forced on (still requires TPU below)
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _use_s2d() -> bool:
+    # Space-to-depth formulation of the stride-2 entry conv (conv1).  On by
+    # default on TPU (A/B: scripts/s2d_ab.py); DEEPCAM_S2D=0 opts out.
+    import os
+
+    if os.environ.get("DEEPCAM_S2D") == "0":
+        return False
+    if os.environ.get("DEEPCAM_S2D") == "1":
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
@@ -114,3 +132,131 @@ def _bwd(stride, res, g):
 
 
 conv3x3_small_ch.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth formulation of the stride-2 entry conv (conv1).
+#
+# A 3x3/stride-2/pad-1 conv over (N, H, W, C) is exactly a 2x2/stride-1 conv
+# over the space-to-depth input (N, H/2, W/2, 4C) with a rearranged kernel:
+# block tap (bh, bw), s2d channel (ph, pw, c) ← original tap
+# (2bh+ph-1, 2bw+pw-1) — the (bh=0, ph=0) phases fall on tap index -1 and
+# are zero.  Why: the strided form is layout-hostile on TPU twice over — the
+# forward tiles a 16-lane conv at 768x1152, and the slice-form wgrad takes
+# nine STRIDED slices of that input (~13 ms/step of slice ops in the fused
+# trace, PERF.md).  In block space the conv contracts 64 lanes at half
+# resolution and the wgrad's four taps are contiguous slices.  The extra
+# multiplies against the zero phases are ~0.8x the conv's own FLOPs — noise
+# against the layout win.  conv1 is the first layer, so its dgrad is dead
+# code in the training step (DCE'd); it is still implemented (inverse-s2d of
+# the block-space transposed conv) and tested.
+# ---------------------------------------------------------------------------
+
+
+def _s2d(x):
+    """(N, H, W, C) → (N, H/2, W/2, 4C); channel index = (ph, pw, c)."""
+    n, h, w, c = x.shape
+    return (
+        x.reshape(n, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 4 * c)
+    )
+
+
+def _s2d_inv(xs, c):
+    """Inverse of `_s2d`."""
+    n, h2, w2, _ = xs.shape
+    return (
+        xs.reshape(n, h2, w2, 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, 2 * h2, 2 * w2, c)
+    )
+
+
+# (ky | kx) → (block tap, phase): ky = 2*bh + ph - 1
+_S2D_SEL = {0: (0, 1), 1: (1, 0), 2: (1, 1)}
+
+
+def _s2d_kernel(kernel):
+    """(3, 3, C, F) → (2, 2, 4C, F) block-space kernel."""
+    c, f = kernel.shape[2], kernel.shape[3]
+    zero = jnp.zeros_like(kernel[0, 0])
+
+    def tap(ky, kx):
+        return kernel[ky, kx] if (ky >= 0 and kx >= 0) else zero
+
+    k2 = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                jnp.stack([tap(2 * bh + ph - 1, 2 * bw + pw - 1)
+                           for pw in range(2)])
+                for ph in range(2)
+            ])
+            for bw in range(2)
+        ])
+        for bh in range(2)
+    ])  # (bh, bw, ph, pw, C, F)
+    return k2.reshape(2, 2, 4 * c, f)
+
+
+def _s2d_conv(xs, k2):
+    return lax.conv_general_dilated(
+        xs, k2, (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def conv3x3s2_s2d(x: jax.Array, kernel: jax.Array):
+    """3x3 conv, stride 2, padding (1,1), NHWC/HWIO — space-to-depth form.
+
+    Same math as ``conv3x3_small_ch(x, kernel, 2)``; H and W must be even.
+    """
+    return _s2d_conv(_s2d(x), _s2d_kernel(kernel))
+
+
+def _s2d_fwd(x, kernel):
+    xs = _s2d(x)
+    return _s2d_conv(xs, _s2d_kernel(kernel)), (xs, kernel)
+
+
+def _s2d_bwd(res, g):
+    xs, kernel = res
+    n, oh, ow, c4 = xs.shape
+    c = c4 // 4
+    co = kernel.shape[-1]
+
+    # dgrad in block space (dead in the model — conv1 is the first layer —
+    # but correct): y[o] = Σ_b xs[o-1+b]·k2[b] ⇒ dxs[i] = Σ_b g[i+b]·k2ᵀ[1-b]
+    k2 = _s2d_kernel(kernel)
+    kt = jnp.flip(k2, axis=(0, 1)).transpose(0, 1, 3, 2)  # (2,2,co,4c)
+    dxs = lax.conv_general_dilated(
+        g, kt, (1, 1), ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    dx = _s2d_inv(dxs, c)
+
+    # wgrad: four CONTIGUOUS taps of the block-padded input on the MXU
+    xp = jnp.pad(xs, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    g32 = g.astype(jnp.float32)
+    taps = []
+    for bh in range(2):
+        for bw in range(2):
+            tap = lax.slice(xp, (0, bh, bw, 0), (n, bh + oh, bw + ow, c4))
+            taps.append(jnp.einsum(
+                "nhwc,nhwd->cd", tap.astype(jnp.float32), g32,
+                preferred_element_type=jnp.float32,
+            ))
+    dk2 = jnp.stack(taps).reshape(2, 2, 2, 2, c, co)  # (bh, bw, ph, pw, c, co)
+    dk = jnp.stack([
+        jnp.stack([
+            dk2[_S2D_SEL[ky][0], _S2D_SEL[kx][0],
+                _S2D_SEL[ky][1], _S2D_SEL[kx][1]]
+            for kx in range(3)
+        ])
+        for ky in range(3)
+    ])  # (3, 3, c, co)
+    return dx.astype(xs.dtype), dk.astype(kernel.dtype)
+
+
+conv3x3s2_s2d.defvjp(_s2d_fwd, _s2d_bwd)

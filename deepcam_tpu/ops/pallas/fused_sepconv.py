@@ -50,6 +50,16 @@ of scripts/probe_element_window.py):
 Supported: stride 1, dilation d (halo d), any C/F (lane padding is left to
 Mosaic — no host-side channel pad).  Stride-2 sepconvs (3 in the model)
 stay on the XLA path.
+
+``fused_sepconv_affine`` additionally folds the PRECEDING BatchNorm's apply
+(``u = x*a + b`` with per-channel a/b) into the same kernel — the rep-unit
+chain ``... → BN → relu → sepconv → ...`` (reference
+``deeplab_xception.py:79-108`` + the trailing BN at :100) then never
+materializes the BN output in HBM: the forward applies the affine in-kernel
+and the backward emits {dz, da, db} alongside {ddw, dpw} from the same
+residency.  The BN *statistics* (reductions over the producer) and their
+gradient path stay in XLA — only the apply/mask elementwise traffic moves
+into the kernel, so autodiff of mean/var remains exact by construction.
 """
 
 from __future__ import annotations
@@ -126,6 +136,16 @@ def _dw_from_halo(ht, k, *, th, d, flip=False):
     return acc
 
 
+def _zero_pad_rows(ht, hi, *, th, d, h):
+    """Zero the rows of a haloed tile ``ht`` (th+2d, W, C) that fall on the
+    out-of-bounds H pad of the operand (global padded-row index < d or
+    >= d + h).  Needed when an affine is folded in-kernel: the pad rows are
+    stored as zeros, but 0*a + b ≠ 0."""
+    r = lax.broadcasted_iota(jnp.int32, (ht.shape[0], 1, 1), 0) + hi * th
+    valid = jnp.logical_and(r >= d, r < d + h)
+    return jnp.where(valid, ht, jnp.zeros((), ht.dtype))
+
+
 def _halo_spec(th, d, w, c):
     """Overlapping row window (1, th+2d, w, c) starting at row hi*th of the
     H-padded operand — all starts in-bounds, no window padding."""
@@ -145,39 +165,61 @@ def _pad_h(x, d):
 # ---------------------------------------------------------------------------
 
 def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
-                interpret: bool = False):
-    """xp is the H-padded input (N, H+2d, W, C)."""
+                interpret: bool = False, ab=None):
+    """xp is the H-padded input (N, H+2d, W, C).  ``ab`` (optional) is a
+    pair of (1, C) per-channel scale/offset applied in-kernel BEFORE the
+    relu — the folded BN-apply of the preceding BatchNorm."""
     n, hp, w, c = xp.shape
     f = pwk.shape[-1]
     d = dilation
     h = hp - 2 * d
     th = _pick_row_tile(h, w, c, f, d)
     nh = h // th
+    affine = ab is not None
 
-    def kernel(x_ref, dwk_ref, pwk_ref, out_ref):
+    def kernel(*refs):
+        if affine:
+            x_ref, a_ref, b_ref, dwk_ref, pwk_ref, out_ref = refs
+        else:
+            x_ref, dwk_ref, pwk_ref, out_ref = refs
         ht = x_ref[0]
+        if affine:
+            # bf16 FMA — the exact expression BatchNorm2d.apply computes
+            ht = ht * a_ref[0] + b_ref[0]
         if pre_relu:
             ht = jnp.maximum(ht, 0)
+        if affine:
+            # the H-halo pad rows are zeros in xp; the depthwise 'same' pad
+            # must be zero AFTER the affine (+relu), not relu(0*a + b)
+            ht = _zero_pad_rows(ht, pl.program_id(1), th=th, d=d, h=h)
         dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
         y = jnp.dot(db, pwk_ref[...], preferred_element_type=jnp.float32)
         out_ref[0] = y.astype(out_ref.dtype).reshape(th, w, f)
 
+    vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
+    in_specs = [_halo_spec(th, d, w, c)]
+    operands = [xp]
+    if affine:
+        in_specs += [vec_spec, vec_spec]
+        operands += [ab[0], ab[1]]
+    in_specs += [
+        pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+        pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
+    ]
+    operands += [dwk, pwk]
+
     return pl.pallas_call(
         kernel,
         grid=(n, nh),
-        in_specs=[
-            _halo_spec(th, d, w, c),
-            pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
-            pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, w, f), lambda ni, hi: (ni, hi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, f), xp.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, dwk, pwk)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -185,10 +227,13 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
-                interpret: bool = False):
+                interpret: bool = False, ab=None):
     """xp, gp are H-padded (N, H+2d, W, C/F).  Returns (dx (N,H,W,C) in
-    x.dtype, d_dw (3,3,C) fp32, d_pw (C,F) fp32).  ``pwk_t`` is the
-    transposed pointwise kernel (F, C)."""
+    x.dtype, d_dw (3,3,C) fp32, d_pw (C,F) fp32) — plus (da, db) (1, C)
+    fp32 when ``ab`` is given (folded BN-apply: u = x*a + b feeds the
+    relu; dx then carries du*a and da/db accumulate Σdu·x / Σdu across the
+    grid exactly like d_dw/d_pw).  ``pwk_t`` is the transposed pointwise
+    kernel (F, C)."""
     n, hp, w, c = xp.shape
     f = pwk_t.shape[0]
     d = dilation
@@ -196,8 +241,14 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     th = _pick_row_tile(h, w, c, f, d)
     nh = h // th
     thh = th + 2 * d
+    affine = ab is not None
 
-    def kernel(x_ref, g_ref, dwk_ref, pwt_ref, dx_ref, ddw_ref, dpw_ref):
+    def kernel(*refs):
+        if affine:
+            (x_ref, g_ref, a_ref, b_ref, dwk_ref, pwt_ref,
+             dx_ref, ddw_ref, dpw_ref, da_ref, db_ref) = refs
+        else:
+            x_ref, g_ref, dwk_ref, pwt_ref, dx_ref, ddw_ref, dpw_ref = refs
         ni = pl.program_id(0)
         hi = pl.program_id(1)
         xt = x_ref[0]
@@ -207,8 +258,15 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         def _():
             ddw_ref[...] = jnp.zeros_like(ddw_ref)
             dpw_ref[...] = jnp.zeros_like(dpw_ref)
+            if affine:
+                da_ref[...] = jnp.zeros_like(da_ref)
+                db_ref[...] = jnp.zeros_like(db_ref)
 
-        ht = jnp.maximum(xt, 0) if pre_relu else xt
+        ut = xt * a_ref[0] + b_ref[0] if affine else xt
+        ht = jnp.maximum(ut, 0) if pre_relu else ut
+        if affine:
+            # zero the H-halo pad rows post-affine (see forward kernel)
+            ht = _zero_pad_rows(ht, hi, th=th, d=d, h=h)
 
         # pointwise dgrad over the haloed rows (zero g halo → zero dd halo)
         dd = jnp.dot(
@@ -220,8 +278,14 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True)
         if pre_relu:
             # fp32 compare: Mosaic can't lower a bf16 cmpf at this layout
-            xc = xt[d:d + th, :, :].astype(jnp.float32)
-            dh = jnp.where(xc > 0, dh, 0.0)
+            uc = ut[d:d + th, :, :].astype(jnp.float32)
+            dh = jnp.where(uc > 0, dh, 0.0)
+        if affine:
+            # dh is now du (grad at the affine output)
+            xc32 = xt[d:d + th, :, :].astype(jnp.float32)
+            da_ref[...] += jnp.sum(dh * xc32, axis=(0, 1))[None, :]
+            db_ref[...] += jnp.sum(dh, axis=(0, 1))[None, :]
+            dh = dh * a_ref[0].astype(jnp.float32)
         dx_ref[0] = dh.astype(dx_ref.dtype)
 
         # depthwise wgrad: 9 taps of h against the center dd rows
@@ -241,30 +305,46 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             preferred_element_type=jnp.float32,
         )
 
+    vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
+    in_specs = [_halo_spec(th, d, w, c), _halo_spec(th, d, w, f)]
+    operands = [xp, gp]
+    if affine:
+        in_specs += [vec_spec, vec_spec]
+        operands += [ab[0], ab[1]]
+    in_specs += [
+        pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+        pl.BlockSpec((f, c), lambda ni, hi: (0, 0)),
+    ]
+    operands += [dwk, pwk_t]
+
+    out_specs = [
+        pl.BlockSpec((1, th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
+        pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+        pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h, w, c), xp.dtype),
+        jax.ShapeDtypeStruct((3, 3, c), jnp.float32),
+        jax.ShapeDtypeStruct((c, f), jnp.float32),
+    ]
+    if affine:
+        out_specs += [vec_spec, vec_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ]
+
     return pl.pallas_call(
         kernel,
         grid=(n, nh),
-        in_specs=[
-            _halo_spec(th, d, w, c),
-            _halo_spec(th, d, w, f),
-            pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
-            pl.BlockSpec((f, c), lambda ni, hi: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
-            pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
-            pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, h, w, c), xp.dtype),
-            jax.ShapeDtypeStruct((3, 3, c), jnp.float32),
-            jax.ShapeDtypeStruct((c, f), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, gp, dwk, pwk_t)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -305,3 +385,43 @@ def _fs_bwd(pre_relu, dilation, interpret, res, g):
 
 
 fused_sepconv.defvjp(_fs_fwd, _fs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_sepconv_affine(x, a, b, dwk, pwk, pre_relu: bool = True,
+                         dilation: int = 1, interpret: bool = False):
+    """BN-apply-folded sepconv unit: ``[relu(] x*a + b [)] → dw3x3 → pw``.
+
+    x: (N, H, W, C); a, b: (C,) per-channel scale/offset in x.dtype (the
+    preceding BatchNorm2d's apply coefficients); dwk: (3, 3, C);
+    pwk: (C, F).  Numerics parity target: ``fused_sepconv(x*a + b, ...)``
+    with the affine computed as the same bf16 FMA BatchNorm2d uses
+    (reference semantics: the BN at the end of one rep unit feeding the
+    ReLU that opens the next, ``deeplab_xception.py:79-108``).
+    """
+    return _fwd_pallas(
+        _pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+        interpret=interpret, ab=(a.reshape(1, -1), b.reshape(1, -1)),
+    )
+
+
+def _fsa_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
+    xp = _pad_h(x, dilation)
+    y = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+                    interpret=interpret,
+                    ab=(a.reshape(1, -1), b.reshape(1, -1)))
+    return y, (xp, a, b, dwk, pwk)
+
+
+def _fsa_bwd(pre_relu, dilation, interpret, res, g):
+    xp, a, b, dwk, pwk = res
+    dx, ddw, dpw, da, db = _bwd_pallas(
+        xp, _pad_h(g.astype(xp.dtype), dilation), dwk, pwk.T,
+        pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)),
+    )
+    return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
+            ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
+
+
+fused_sepconv_affine.defvjp(_fsa_fwd, _fsa_bwd)

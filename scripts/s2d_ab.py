@@ -1,6 +1,7 @@
-"""Whole-model A/B: Pallas entry-conv wgrad vs slice-form einsums.
+"""Whole-model A/B: space-to-depth conv1 vs the strided small-ch form.
+Full fwd+bwd (loss grad) on TPU.
 
-Run: python -u scripts/cwgrad_ab.py
+Run: python -u scripts/s2d_ab.py [batch]
 """
 
 import os
@@ -10,6 +11,10 @@ import time
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/deepcam_jax_cache")
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 import numpy as np
@@ -47,7 +52,6 @@ def measure(tag, iters=4):
     out = g(variables["params"], variables["batch_stats"], x, y)
     host_sync(out)
     compile_s = time.perf_counter() - t0
-    # numerics fingerprint: global grad norm
     sq = sum(float(jnp.sum(l.astype(jnp.float32) ** 2))
              for l in jax.tree_util.tree_leaves(out))
     t0 = time.perf_counter()
@@ -55,13 +59,13 @@ def measure(tag, iters=4):
         out = g(variables["params"], variables["batch_stats"], x, y)
     host_sync(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{tag:28s} fwd+bwd {1e3 * dt:8.2f} ms  (compile {compile_s:.0f}s)"
+    print(f"{tag:24s} fwd+bwd {1e3 * dt:8.2f} ms  (compile {compile_s:.0f}s)"
           f"  |g| {sq ** 0.5:.6f}", flush=True)
     return dt
 
 
-os.environ["DEEPCAM_PALLAS_CWGRAD"] = "0"
-t_slice = measure("slice wgrad")
-os.environ["DEEPCAM_PALLAS_CWGRAD"] = "1"
-t_pallas = measure("pallas wgrad")
-print(f"\nspeedup {t_slice / t_pallas:.3f}x", flush=True)
+os.environ["DEEPCAM_S2D"] = "0"
+t_off = measure(f"b{BATCH} strided conv1")
+os.environ["DEEPCAM_S2D"] = "1"
+t_on = measure(f"b{BATCH} s2d conv1")
+print(f"\nspeedup {t_off / t_on:.3f}x", flush=True)

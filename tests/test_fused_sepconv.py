@@ -87,6 +87,43 @@ def test_gradient_parity(n, h, w, c, f, pre_relu, dilation):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("n,h,w,c,f,pre_relu,dilation", CASES)
+def test_affine_parity(n, h, w, c, f, pre_relu, dilation):
+    """BN-apply-folded kernel == affine then the unfused composition,
+    forward and all five gradients (dx, da, db, d_dw, d_pw).  b is offset
+    positive so relu(0*a+b) != 0 — catches halo rows that miss the
+    post-affine zeroing."""
+    from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv_affine
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    a = jnp.asarray(1.0 + 0.3 * rng.randn(c), jnp.float32)
+    b = jnp.asarray(0.5 + 0.3 * rng.randn(c), jnp.float32)
+    dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+    pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+    ct = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+
+    def loss_fused(x, a, b, dwk, pwk):
+        y = fused_sepconv_affine(x, a, b, dwk, pwk, pre_relu, dilation, True)
+        return jnp.sum(y * ct)
+
+    def loss_ref(x, a, b, dwk, pwk):
+        return jnp.sum(_reference(x * a + b, dwk, pwk, pre_relu, dilation)
+                       * ct)
+
+    got = fused_sepconv_affine(x, a, b, dwk, pwk, pre_relu, dilation, True)
+    want = _reference(x * a + b, dwk, pwk, pre_relu, dilation)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    gs = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk, pwk)
+    rs = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk, pwk)
+    for g_, r_, name in zip(gs, rs, ("dx", "da", "db", "ddw", "dpw")):
+        np.testing.assert_allclose(
+            np.asarray(g_), np.asarray(r_), rtol=1e-4, atol=1e-4,
+            err_msg=name)
+
+
 def test_bf16_forward_close():
     """bf16 in/out matches the bf16 unfused path within bf16 tolerance."""
     rng = np.random.RandomState(2)

@@ -75,6 +75,30 @@ def test_conv_transpose_matches_torch(in_ch, out_ch):
     np.testing.assert_allclose(y, np.transpose(y_t, (0, 2, 3, 1)), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("method", ["polyphase", "d2s"])
+@pytest.mark.parametrize("in_ch,out_ch", [(8, 8), (8, 3)])
+def test_conv_transpose_alt_methods_match(method, in_ch, out_ch):
+    """polyphase / d2s schedules == the dilated form, fwd and grads."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 6, 9, in_ch).astype(np.float32))
+    ref = ConvTranspose2d(features=out_ch, method="dilated")
+    alt = ConvTranspose2d(features=out_ch, method=method)
+    params = ref.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(ref.apply(params, x)), np.asarray(alt.apply(params, x)),
+        rtol=1e-4, atol=1e-5,
+    )
+    g_ref = jax.grad(lambda p, x: jnp.sum(jnp.sin(ref.apply(p, x))),
+                     argnums=(0, 1))(params, x)
+    g_alt = jax.grad(lambda p, x: jnp.sum(jnp.sin(alt.apply(p, x))),
+                     argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(g_ref[0]["params"]["kernel"]),
+        np.asarray(g_alt[0]["params"]["kernel"]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_ref[1]), np.asarray(g_alt[1]), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("stride,dil", [(1, 1), (2, 1), (1, 2)])
 def test_separable_conv_same_matches_torch(stride, dil):
     """fixed_padding + depthwise + pointwise vs torch F.pad + conv2d
