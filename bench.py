@@ -21,7 +21,14 @@ import time
 # r1 initial implementation measured 9.70; current best 14.22 (PERF.md).
 BENCH_BASELINE = 9.70
 
-LOCAL_BATCH = 2  # reference per-GPU batch (run_training_dgx2.sh:70)
+import os as _os
+
+# Per-chip batch.  The reference trains at 2/GPU (run_training_dgx2.sh:70);
+# on v5e the measured throughput knee is batch 4 (PERF.md r2 batch scan:
+# b2 17.87, b4 19.30, b6 18.16 samples/s/chip, b8 OOM), unlocked by the
+# fused sepconv kernel + s2d conv1 removing the superlinear bwd terms.
+# BENCH_LOCAL_BATCH overrides for A/Bs.
+LOCAL_BATCH = int(_os.environ.get("BENCH_LOCAL_BATCH", "4"))
 WARMUP_STEPS = 2
 MEASURE_STEPS = 8
 
