@@ -139,7 +139,22 @@ class DeconvUpsampler(nn.Module):
         x = ConvTranspose2d(256, dtype=self.dtype, name="deconv3")(x)
         x = BatchNorm2d(dtype=self.dtype, name="deconv3_bn")(x, train)
         x = nn.relu(x)
-        x = ConvTranspose2d(self.n_classes, dtype=self.dtype, name="last_deconv")(x)
+        import os
+
+        # The F = n_classes output makes the dilated schedule pick H-major
+        # blocked layouts (r2 trace: ~1.4 ms layout copies around the relu/
+        # BN region) and its d2s forward won the grad-only sweep (201.1 vs
+        # 203.8 ms, scripts/deconv_sweep.py) — but in the FULL train step
+        # the depth-to-space logits layout poisons every loss/metric
+        # consumer (loss-region device time 0.8 → 22.8 ms: broadcast 13.2,
+        # reduce 5.1, eq 3.4; bench 19.62 → 17.44).  Default stays
+        # 'dilated'; DEEPCAM_DECONV_LAST=d2s opts in (right only if the
+        # loss consumes block-space logits directly).
+        x = ConvTranspose2d(
+            self.n_classes, dtype=self.dtype,
+            method=os.environ.get("DEEPCAM_DECONV_LAST") or None,
+            name="last_deconv",
+        )(x)
         return x
 
 

@@ -211,15 +211,39 @@ class Conv2d(nn.Module):
                 )
                 y = y + bias.astype(y.dtype)
             return y
-        y = conv2d(
-            x,
-            kernel,
-            stride=self.stride,
-            padding=self.padding,
-            dilation=self.dilation,
-            groups=self.groups,
-            compute_dtype=self.dtype,
-        )
+        import os
+
+        rate = _to_pair(self.dilation)[0]
+        if (
+            (kh, kw) == (3, 3)
+            and self.groups == 1
+            and _to_pair(self.stride) == (1, 1)
+            and _to_pair(self.dilation) == (rate, rate)
+            and rate > 1
+            and self.padding == rate
+            and os.environ.get("DEEPCAM_ATROUS", "0") == "1"
+        ):
+            # ASPP branches: XLA's rhs_dilation schedule runs ~8x off peak
+            # at (48, 72); the shift-decomposed form is nine MXU-dense taps
+            # with a matching custom VJP (ops/atrous.py).  Measured r2: the
+            # taps re-read the 2048-lane input 9x and LOSE end-to-end
+            # (fwd 2.4→2.8 ms, bwd 2.9→3.7 ms per branch; whole-model
+            # 0.978x) — XLA's windowed reuse wins at these channel counts.
+            # Kept opt-in for lane-starved future uses.
+            from ..ops.atrous import conv3x3_atrous
+
+            y = conv3x3_atrous(
+                x.astype(self.dtype), kernel.astype(self.dtype), rate)
+        else:
+            y = conv2d(
+                x,
+                kernel,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups,
+                compute_dtype=self.dtype,
+            )
         if self.use_bias:
             fan_in = (in_ch // self.groups) * kh * kw
             bias = self.param(
@@ -286,8 +310,18 @@ class ConvTranspose2d(nn.Module):
             and (ph, pw) == (1, 1)
             and (oph, opw) == (1, 1)
         )
+        use_vjp = os.environ.get("DEEPCAM_DECONV_VJP", "1") == "1"
         if method == "polyphase" and is_k3s2:
             y = self._polyphase_k3s2(xc, k)
+        elif method in ("dilated", "d2s") and is_k3s2 and use_vjp:
+            # Selectable XLA forward schedule, custom backward: XLA's
+            # autodiff through the dilated schedule emits a reverse/pad/
+            # slice/copy storm over the full-size intermediates (~26 ms/step
+            # at batch 4, PERF.md r2); the custom VJP computes dx/dk as
+            # s2d-block-space convs/einsums.
+            from deepcam_tpu.ops.deconv import deconv3x3s2
+
+            y = deconv3x3s2(xc, kernel.astype(self.dtype), method)
         elif method == "d2s" and is_k3s2:
             y = self._d2s_k3s2(xc, k)
         else:

@@ -1,0 +1,155 @@
+"""Custom VJP for the decoder's exact-x2 transposed conv (k3, s2, p1, op1).
+
+The reference decoder upsamples with four ``ConvTranspose2d(k=3, s=2, p=1,
+output_padding=1)`` layers (``deeplab_xception.py:352-374``).  The forward
+dilated (lhs_dilation) schedule is fine on TPU — XLA zero-skips it well
+(PERF.md r1/r2 polyphase and d2s A/Bs) — but XLA's *autodiff through* the
+dilated schedule is not: the r2 batch-4 step trace shows a ~26 ms/step storm
+of full-size ``reverse`` / ``pad`` / ``slice`` / ``copy`` ops over the
+(4, 384, 576, 256) fp32 intermediates around deconv3/last_deconv.
+
+This custom VJP keeps the XLA forward and replaces the backward with the
+transpose identities (verified exactly against ``jax.vjp`` of the dilated
+form; see tests/test_deconv_vjp.py):
+
+* ``dx``: the linear transpose of an exact-x2 transposed conv is a plain
+  3x3/stride-2/pad-(1,0) convolution of ``dy`` with the I/O-transposed
+  kernel — a standard strided conv, no dilation anywhere.
+* ``dk``: the weight gradient equals the wgrad of that same 3x3/s2 conv
+  with roles swapped (input = ``dy``, cotangent = ``x``): each kernel tap
+  touches exactly ONE phase of ``s2d(dy)``, so nine per-phase fp32 einsums
+  over the once-padded ``s2d(dy)`` compute it at the inherent FLOP count —
+  instead of XLA's nine reversed/strided slices at dilated resolution.
+
+Operands are upcast to fp32 before every product and accumulated in fp32
+(same policy as ops/conv_small_ch.py wgrad).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from deepcam_tpu.ops.conv_small_ch import _S2D_SEL, _s2d
+
+
+def _dilated_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Textbook transposed conv: input-dilated conv with the flipped kernel.
+
+    k3/s2/p1/op1 ⇒ window pad (k-1-p, k-1-p+op) = (1, 2) on each axis; the
+    output is exactly (2H, 2W).
+    """
+    kf = jnp.flip(kernel, axis=(0, 1))
+    return lax.conv_general_dilated(
+        x, kf, (1, 1), ((1, 2), (1, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+# (tap index dh/dw, output phase a/b) → flipped-kernel index (∅ = zero slot)
+_D2S_SEL = {(0, 0): 1, (0, 1): 0, (1, 1): 2}
+
+
+def _d2s_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Same map as ``_dilated_fwd`` via ONE dense 2x2/s1 conv emitting all
+    four output phases as 4F channels + depth-to-space (full MXU density; the
+    phase/derivation comments live on ``ConvTranspose2d._d2s_k3s2``)."""
+    n, h, w, c = x.shape
+    f = kernel.shape[-1]
+    kf = jnp.flip(kernel, axis=(0, 1))
+    zero = jnp.zeros_like(kf[0, 0])
+
+    def tap(dh, a, dw, b):
+        if (dh, a) in _D2S_SEL and (dw, b) in _D2S_SEL:
+            return kf[_D2S_SEL[(dh, a)], _D2S_SEL[(dw, b)]]
+        return zero
+
+    k2 = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                jnp.stack([tap(dh, a, dw, b) for b in range(2)])
+                for a in range(2)
+            ])
+            for dw in range(2)
+        ])
+        for dh in range(2)
+    ])  # (dh, dw, a, b, C, F)
+    k2 = k2.transpose(0, 1, 4, 2, 3, 5).reshape(2, 2, c, 4 * f)
+    y4 = lax.conv_general_dilated(
+        x, k2, (1, 1), ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (N, H, W, (a, b, F))
+    y = y4.reshape(n, h, w, 2, 2, f).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * w, f)
+
+
+_FWD_IMPLS = {"dilated": _dilated_fwd, "d2s": _d2s_fwd}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def deconv3x3s2(x: jax.Array, kernel: jax.Array,
+                method: str = "dilated") -> jax.Array:
+    """Transposed conv (k=3, s=2, p=1, output_padding=1), NHWC/HWIO.
+
+    ``kernel`` is (3, 3, C_in, F) in the layer's (unflipped) orientation;
+    ``x`` is (N, H, W, C_in); the result is (N, 2H, 2W, F).  ``method``
+    picks the forward schedule only ('dilated' or 'd2s' — identical math);
+    the backward is always the custom s2d-block-space VJP below.
+    """
+    return _FWD_IMPLS[method](x, kernel)
+
+
+def _fwd(x, kernel, method):
+    return _FWD_IMPLS[method](x, kernel), (x, kernel)
+
+
+def _bwd(method, res, g):
+    del method  # backward is schedule-independent
+    x, kernel = res
+    n, h, w, c = x.shape
+    f = kernel.shape[-1]
+
+    g = g.astype(x.dtype)
+
+    # dx: the linear transpose of the exact-x2 transposed conv is a PLAIN
+    # 3x3/stride-2 conv of dy with the I/O-transposed (unflipped) kernel and
+    # padding (1, 0) per axis — standard layouts, no dilation anywhere.
+    kt = kernel.transpose(0, 1, 3, 2).astype(x.dtype)  # (3, 3, F, C)
+    dx = lax.conv_general_dilated(
+        g, kt, (2, 2), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    # dk: the wgrad of that same s2 conv with roles swapped (input = dy,
+    # cotangent = x).  Each kernel tap (ky, kx) touches exactly ONE phase of
+    # s2d(dy) at a 0/-1 block shift, so nine per-phase einsums over the
+    # once-padded s2d(dy) compute it at the inherent FLOP count (no d2s
+    # tap-slot overdo) with lane-aligned channel slices (offsets are
+    # multiples of F).  fp32 products/accumulation.
+    gs = _s2d(g)  # (N, H, W, (ph, pw, F))
+    gp = jnp.pad(gs, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    x32 = x.astype(jnp.float32)
+    rows = []
+    for ky in range(3):
+        bh, ph = _S2D_SEL[ky]
+        cols = []
+        for kx in range(3):
+            bw, pw = _S2D_SEL[kx]
+            off = (ph * 2 + pw) * f
+            tap = lax.slice(
+                gp, (0, bh, bw, off), (n, bh + h, bw + w, off + f))
+            cols.append(jnp.einsum(
+                "nhwf,nhwc->fc", tap.astype(jnp.float32), x32,
+                preferred_element_type=jnp.float32,
+            ))
+        rows.append(jnp.stack(cols))
+    dkt = jnp.stack(rows)  # (3, 3, F, C)
+    dk = dkt.transpose(0, 1, 3, 2)
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+deconv3x3s2.defvjp(_fwd, _bwd)

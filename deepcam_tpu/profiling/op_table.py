@@ -76,6 +76,8 @@ def load_device_ops(path: str) -> pd.DataFrame:
             continue
         args = e.get("args", {})
         dur_ps = float(args.get("device_duration_ps", 0.0))
+        # model-scope attribution, e.g. "jit(step)/.../upsample/deconv3/..."
+        scope = (args.get("tf_op") or "").strip().rstrip(":")
         rows.append(
             (
                 e["name"],
@@ -83,10 +85,12 @@ def load_device_ops(path: str) -> pd.DataFrame:
                 (dur_ps * 1e-9) if dur_ps else float(e.get("dur", 0.0)) * 1e-3,
                 float(args.get("model_flops", 0.0) or 0.0),
                 float(args.get("bytes_accessed", 0.0) or 0.0),
+                scope,
             )
         )
     df = pd.DataFrame(
-        rows, columns=["name", "category", "time_ms", "flops", "bytes"]
+        rows, columns=["name", "category", "time_ms", "flops", "bytes",
+                       "scope"]
     )
     df.attrs["n_steps"] = n_steps
     return df
@@ -118,6 +122,32 @@ def category_table(ops: pd.DataFrame) -> pd.DataFrame:
     """Roll up by ``hlo_category`` (the PERF.md-style device-time
     composition: fusions / copies / slices / convolutions / ...)."""
     g = ops.groupby("category", sort=False)
+    out = pd.DataFrame(
+        {
+            "time_ms": g["time_ms"].sum(),
+            "invocations": g.size(),
+            "flops": g["flops"].sum(),
+            "bytes": g["bytes"].sum(),
+        }
+    )
+    total = out["time_ms"].sum()
+    out["time_pct"] = 100.0 * out["time_ms"] / max(total, 1e-9)
+    return out.sort_values("time_ms", ascending=False)
+
+
+def scope_table(ops: pd.DataFrame, depth: int = 3) -> pd.DataFrame:
+    """Roll up by model scope (the HLO ``tf_op`` metadata, e.g.
+    ``jit(step)/transpose(jvp(DeepLabv3plus))/upsample/deconv3/...``),
+    truncated to ``depth`` path components after the jit root — a
+    per-module device-time attribution no nsight analogue offered."""
+    def trunc(s: str) -> str:
+        if not s:
+            return "(unattributed)"
+        parts = s.split("/")
+        return "/".join(parts[1:1 + depth]) or parts[0]
+
+    g = ops.assign(module=ops["scope"].map(trunc)).groupby("module",
+                                                           sort=False)
     out = pd.DataFrame(
         {
             "time_ms": g["time_ms"].sum(),

@@ -70,16 +70,20 @@ from deepcam_tpu.profiling.op_table import (  # noqa: E402
     load_device_ops,
     op_table,
     per_step,
+    scope_table,
 )
 
 ops = load_device_ops(LOGDIR)
 ops.attrs["n_steps"] = TRACE_STEPS
 full = per_step(op_table(ops), TRACE_STEPS)
 cats = per_step(category_table(ops), TRACE_STEPS)
+scopes = per_step(scope_table(ops), TRACE_STEPS)
 with pd.option_context("display.width", 220, "display.max_rows", 100,
                        "display.float_format", "{:.3f}".format):
     print(f"== device time by hlo_category [per step] "
           f"(total {cats['time_ms'].sum():.2f} ms)")
     print(cats.to_string())
+    print("== device time by model scope [per step]")
+    print(scopes.head(40).to_string())
     print("== top ops [per step]")
     print(full.head(45).to_string())
