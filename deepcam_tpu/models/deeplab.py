@@ -13,6 +13,7 @@ the reference never calls their (name-mangled) ``__init_weight`` methods.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax.numpy as jnp
@@ -136,11 +137,15 @@ class DeconvUpsampler(nn.Module):
             dtype=self.dtype, name="conv2",
         )(x)
 
-        x = ConvTranspose2d(256, dtype=self.dtype, name="deconv3")(x)
+        # Forward-schedule override for the widest deconv (see last_deconv
+        # note below; DEEPCAM_DECONV3 A/Bs d2s/polyphase against dilated).
+        x = ConvTranspose2d(
+            256, dtype=self.dtype,
+            method=os.environ.get("DEEPCAM_DECONV3") or None,
+            name="deconv3",
+        )(x)
         x = BatchNorm2d(dtype=self.dtype, name="deconv3_bn")(x, train)
         x = nn.relu(x)
-        import os
-
         # The F = n_classes output makes the dilated schedule pick H-major
         # blocked layouts (r2 trace: ~1.4 ms layout copies around the relu/
         # BN region) and its d2s forward won the grad-only sweep (201.1 vs

@@ -213,6 +213,31 @@ class Conv2d(nn.Module):
             return y
         import os
 
+        if (
+            (kh, kw) == (1, 1)
+            and self.groups == 1
+            and _to_pair(self.stride) == (2, 2)
+            and self.padding in (0, (0, 0))
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and os.environ.get("DEEPCAM_SKIP_VJP", "0") == "1"
+        ):
+            # XceptionBlock skip projections: phase-form backward replaces
+            # XLA autodiff's strided gather + layout copy
+            # (ops/conv_small_ch.py:conv1x1s2).  Measured NEUTRAL-to-noise
+            # whole-model (bench 20.30 -> 20.18; the s2d formatting of x
+            # costs what the gather did) -> opt-in.
+            from ..ops.conv_small_ch import conv1x1s2
+
+            y = conv1x1s2(x.astype(self.dtype), kernel.astype(self.dtype))
+            if self.use_bias:
+                bias = self.param(
+                    "bias", torch_default_bias_init(in_ch), (self.features,),
+                    self.param_dtype,
+                )
+                y = y + bias.astype(y.dtype)
+            return y
+
         rate = _to_pair(self.dilation)[0]
         if (
             (kh, kw) == (3, 3)

@@ -260,3 +260,55 @@ def _s2d_bwd(res, g):
 
 
 conv3x3s2_s2d.defvjp(_s2d_fwd, _s2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 1x1 stride-2 conv (the XceptionBlock skip projections,
+# deeplab_xception.py:79,111-118 — 3 sites: 64→128, 128→256, 256→728).
+# XLA's autodiff wgrad gathers x[:, ::2, ::2] with a strided slice + layout
+# copy (~0.9 ms at block1 shapes, r2 trace); the phase form reads one
+# LANE-ALIGNED slice of s2d(x) instead, and dx scatters g@K^T to the even
+# positions as a channel-pad + inverse-s2d (contiguous writes).
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def conv1x1s2(x: jax.Array, kernel: jax.Array):
+    """1x1 conv, stride 2, no padding, NHWC/HWIO; H and W must be even.
+
+    ``kernel`` is (1, 1, C, F); output is (N, H/2, W/2, F).
+    """
+    return lax.conv_general_dilated(
+        x, kernel, (2, 2), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _c1s2_fwd(x, kernel):
+    return conv1x1s2(x, kernel), (x, kernel)
+
+
+def _c1s2_bwd(res, g):
+    x, kernel = res
+    n, h, w, c = x.shape
+    f = kernel.shape[-1]
+    k = kernel.reshape(c, f)
+    g = g.astype(x.dtype)
+
+    # dx: g @ K^T scattered to the even positions — phase (0, 0) of the
+    # s2d layout, so channel-pad to 4C and inverse-s2d (one reshape chain).
+    dxs = jnp.einsum("nhwf,cf->nhwc", g, k.astype(x.dtype))
+    dxs = jnp.pad(dxs, ((0, 0), (0, 0), (0, 0), (0, 3 * c)))
+    dx = _s2d_inv(dxs, c)
+
+    # dk: einsum against phase (0, 0) of s2d(x) — one lane-aligned slice.
+    xs = _s2d(x)
+    x00 = lax.slice(xs, (0, 0, 0, 0), (n, h // 2, w // 2, c))
+    dk = jnp.einsum(
+        "nhwc,nhwf->cf", x00.astype(jnp.float32), g.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return dx.astype(x.dtype), dk.reshape(1, 1, c, f).astype(kernel.dtype)
+
+
+conv1x1s2.defvjp(_c1s2_fwd, _c1s2_bwd)

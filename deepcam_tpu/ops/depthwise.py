@@ -123,9 +123,39 @@ def _dw_bwd(stride, dilation, padding, res, g):
         )
         return dx.astype(x.dtype), dk[:, :, None, :].astype(kernel.dtype)
 
-    xp = jnp.pad(x, ((0, 0), (pb, pe), (pb, pe), (0, 0)))
     g32 = g.astype(jnp.float32)
     oh, ow = g.shape[1], g.shape[2]
+
+    if (
+        stride == 2 and dilation == 1 and padding == (1, 1)
+        and h % 2 == 0 and w % 2 == 0
+        and os.environ.get("DEEPCAM_DW_WGRAD_S2D", "1") == "1"
+    ):
+        # s2d-phase form: each tap (ky, kx) reads exactly ONE phase of
+        # s2d(x) at a 0/-1 block shift, so nine LANE-ALIGNED slices of the
+        # once-padded s2d(x) replace nine STRIDED full-res slices (which
+        # cost ~0.64 ms each at (4, 384, 576, 128) — r2 trace, block1).
+        from .conv_small_ch import _S2D_SEL, _s2d
+
+        xs = _s2d(x)  # (N, H/2, W/2, (ph, pw, C))
+        xsp = jnp.pad(xs, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        rows = []
+        for ky in range(3):
+            bh, ph = _S2D_SEL[ky]
+            cols = []
+            for kx in range(3):
+                bw, pw = _S2D_SEL[kx]
+                off = (ph * 2 + pw) * c
+                tap = lax.slice(
+                    xsp, (0, bh, bw, off), (n, bh + oh, bw + ow, off + c))
+                cols.append(jnp.sum(
+                    tap.astype(jnp.float32) * g32, axis=(0, 1, 2)))
+            rows.append(jnp.stack(cols))
+        dk = jnp.stack(rows)  # (3, 3, C)
+        dk = dk[:, :, None, :].astype(kernel.dtype)
+        return dx.astype(x.dtype), dk
+
+    xp = jnp.pad(x, ((0, 0), (pb, pe), (pb, pe), (0, 0)))
     taps = []
     for i in range(3):
         row = []

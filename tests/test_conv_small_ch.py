@@ -107,3 +107,55 @@ def test_conv2d_small_ch_flag_trains():
         np.asarray(g_new["params"]["kernel"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_conv1x1s2_matches_xla():
+    """Skip-projection 1x1/s2 custom VJP (phase-form backward) vs autodiff."""
+    from deepcam_tpu.ops.conv_small_ch import conv1x1s2
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 5, 7).astype(np.float32))
+
+    def ref(x, k):
+        from jax import lax
+        return lax.conv_general_dilated(
+            x, k, (2, 2), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y_ref, vjp_ref = jax.vjp(ref, x, k)
+    y, vjp = jax.vjp(conv1x1s2, x, k)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    dy = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+    (dx_r, dk_r), (dx, dk) = vjp_ref(dy), vjp(dy)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_conv2d_skip_routing_matches(monkeypatch):
+    """Conv2d(1x1, stride 2) grads identical with the skip VJP on/off."""
+    from deepcam_tpu.models.layers import Conv2d
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 12, 6).astype(np.float32))
+
+    def run():
+        m = Conv2d(4, 1, stride=2, padding=0)
+        p = m.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p, x: jnp.sum(m.apply(p, x) ** 2),
+                     argnums=(0, 1))(p, x)
+        return m.apply(p, x), g
+
+    monkeypatch.setenv("DEEPCAM_SKIP_VJP", "0")
+    y_off, (gp_off, gx_off) = run()
+    monkeypatch.setenv("DEEPCAM_SKIP_VJP", "1")
+    y_on, (gp_on, gx_on) = run()
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_on), np.asarray(gx_off),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gp_on["params"]["kernel"]),
+        np.asarray(gp_off["params"]["kernel"]), rtol=1e-5, atol=1e-4)
