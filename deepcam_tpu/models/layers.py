@@ -336,9 +336,7 @@ class ConvTranspose2d(nn.Module):
             and (oph, opw) == (1, 1)
         )
         use_vjp = os.environ.get("DEEPCAM_DECONV_VJP", "1") == "1"
-        if method == "polyphase" and is_k3s2:
-            y = self._polyphase_k3s2(xc, k)
-        elif method in ("dilated", "d2s") and is_k3s2 and use_vjp:
+        if method in ("dilated", "d2s", "polyphase") and is_k3s2 and use_vjp:
             # Selectable XLA forward schedule, custom backward: XLA's
             # autodiff through the dilated schedule emits a reverse/pad/
             # slice/copy storm over the full-size intermediates (~26 ms/step
@@ -347,6 +345,8 @@ class ConvTranspose2d(nn.Module):
             from deepcam_tpu.ops.deconv import deconv3x3s2
 
             y = deconv3x3s2(xc, kernel.astype(self.dtype), method)
+        elif method == "polyphase" and is_k3s2:
+            y = self._polyphase_k3s2(xc, k)
         elif method == "d2s" and is_k3s2:
             y = self._d2s_k3s2(xc, k)
         else:

@@ -14,7 +14,7 @@ def _ref_fwd(x, kernel):
     return _dilated_fwd(x, kernel)
 
 
-@pytest.mark.parametrize("method", ["dilated", "d2s"])
+@pytest.mark.parametrize("method", ["dilated", "d2s", "polyphase"])
 @pytest.mark.parametrize("shape", [
     (2, 6, 8, 5, 7),     # odd channels
     (1, 12, 18, 16, 3),  # last_deconv class: F = n_classes
