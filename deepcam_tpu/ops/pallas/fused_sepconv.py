@@ -120,35 +120,48 @@ def _shift_w(t, o):
     return jnp.concatenate([z, t[:, :o, :]], axis=1)
 
 
-def _dw_from_halo(ht, k, *, th, d, flip=False):
+def _dw_from_halo(ht, k, *, th, d, flip=False, w_out=None):
     """Depthwise 3x3 over the row-haloed tile ``ht`` (th+2d, W, C):
     out[r, w, c] = sum_ij ht[r + i*d, w + (j-1)*d, c] * k[i, j, c] with
-    zero W edges; fp32 accumulation; ``flip`` uses k[2-i, 2-j] (dgrad)."""
+    zero W edges; fp32 accumulation; ``flip`` uses k[2-i, 2-j] (dgrad).
+
+    With ``w_out`` the tile is W-haloed too ((th+2d, w_out+2d, C), zero
+    pad cols in the operand) and every tap is a pure 2D slice — no
+    zero-block concat (``_shift_w``) on the VPU."""
     acc = None
     k32 = k.astype(jnp.float32)
     for i in range(3):
         rows = ht[i * d:i * d + th, :, :]
         for j in range(3):
-            tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
+            if w_out is not None:
+                tap = rows[:, j * d:j * d + w_out, :].astype(jnp.float32)
+            else:
+                tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
             kij = k32[2 - i, 2 - j] if flip else k32[i, j]
             term = tap * kij
             acc = term if acc is None else acc + term
     return acc
 
 
-def _zero_pad_rows(ht, hi, *, th, d, h):
+def _zero_pad_rows(ht, hi, *, th, d, h, wpad=False):
     """Zero the rows of a haloed tile ``ht`` (th+2d, W, C) that fall on the
     out-of-bounds H pad of the operand (global padded-row index < d or
     >= d + h).  Needed when an affine is folded in-kernel: the pad rows are
-    stored as zeros, but 0*a + b ≠ 0."""
+    stored as zeros, but 0*a + b ≠ 0.  With ``wpad`` the tile is W-haloed
+    too and the (static) first/last d pad columns are zeroed as well."""
     r = lax.broadcasted_iota(jnp.int32, (ht.shape[0], 1, 1), 0) + hi * th
     valid = jnp.logical_and(r >= d, r < d + h)
+    if wpad:
+        cidx = lax.broadcasted_iota(jnp.int32, (1, ht.shape[1], 1), 1)
+        cvalid = jnp.logical_and(cidx >= d, cidx < ht.shape[1] - d)
+        valid = jnp.logical_and(valid, cvalid)
     return jnp.where(valid, ht, jnp.zeros((), ht.dtype))
 
 
 def _halo_spec(th, d, w, c):
     """Overlapping row window (1, th+2d, w, c) starting at row hi*th of the
-    H-padded operand — all starts in-bounds, no window padding."""
+    H-padded operand — all starts in-bounds, no window padding.  ``w`` is
+    the operand's full W extent (w or w+2d in wpad mode)."""
     return pl.BlockSpec(
         (pl.Element(1), pl.Element(th + 2 * d), pl.Element(w),
          pl.Element(c)),
@@ -156,7 +169,20 @@ def _halo_spec(th, d, w, c):
     )
 
 
+def _use_wpad() -> bool:
+    """W-halo in the operand (pad W like H): every in-kernel tap becomes a
+    pure 2D slice instead of a zero-block-concat W shift.  Measured r2 on
+    v5e: the (w+2d) window extent breaks the 8-sublane alignment of every
+    windowed read and the backward REGRESSES 9.04 → 13.62 ms on the
+    24-unit chain — opt-in (DEEPCAM_FUSED_WPAD=1) for study only."""
+    import os
+
+    return os.environ.get("DEEPCAM_FUSED_WPAD", "0") == "1"
+
+
 def _pad_h(x, d):
+    if _use_wpad():
+        return jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
     return jnp.pad(x, ((0, 0), (d, d), (0, 0), (0, 0)))
 
 
@@ -169,10 +195,12 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     """xp is the H-padded input (N, H+2d, W, C).  ``ab`` (optional) is a
     pair of (1, C) per-channel scale/offset applied in-kernel BEFORE the
     relu — the folded BN-apply of the preceding BatchNorm."""
-    n, hp, w, c = xp.shape
+    n, hp, w_op, c = xp.shape
     f = pwk.shape[-1]
     d = dilation
     h = hp - 2 * d
+    wpad = _use_wpad()
+    w = w_op - 2 * d if wpad else w_op
     th = _pick_row_tile(h, w, c, f, d)
     nh = h // th
     affine = ab is not None
@@ -189,16 +217,18 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
         if pre_relu:
             ht = jnp.maximum(ht, 0)
         if affine:
-            # the H-halo pad rows are zeros in xp; the depthwise 'same' pad
-            # must be zero AFTER the affine (+relu), not relu(0*a + b)
-            ht = _zero_pad_rows(ht, pl.program_id(1), th=th, d=d, h=h)
-        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d)
+            # the halo pad rows/cols are zeros in xp; the depthwise 'same'
+            # pad must be zero AFTER the affine (+relu), not relu(0*a + b)
+            ht = _zero_pad_rows(ht, pl.program_id(1), th=th, d=d, h=h,
+                                wpad=wpad)
+        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
+                             w_out=w if wpad else None)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
         y = jnp.dot(db, pwk_ref[...], preferred_element_type=jnp.float32)
         out_ref[0] = y.astype(out_ref.dtype).reshape(th, w, f)
 
     vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
-    in_specs = [_halo_spec(th, d, w, c)]
+    in_specs = [_halo_spec(th, d, w_op, c)]
     operands = [xp]
     if affine:
         in_specs += [vec_spec, vec_spec]
@@ -234,10 +264,12 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     relu; dx then carries du*a and da/db accumulate Σdu·x / Σdu across the
     grid exactly like d_dw/d_pw).  ``pwk_t`` is the transposed pointwise
     kernel (F, C)."""
-    n, hp, w, c = xp.shape
+    n, hp, w_op, c = xp.shape
     f = pwk_t.shape[0]
     d = dilation
     h = hp - 2 * d
+    wpad = _use_wpad()
+    w = w_op - 2 * d if wpad else w_op
     th = _pick_row_tile(h, w, c, f, d)
     nh = h // th
     thh = th + 2 * d
@@ -265,48 +297,58 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         ut = xt * a_ref[0] + b_ref[0] if affine else xt
         ht = jnp.maximum(ut, 0) if pre_relu else ut
         if affine:
-            # zero the H-halo pad rows post-affine (see forward kernel)
-            ht = _zero_pad_rows(ht, hi, th=th, d=d, h=h)
+            # zero the halo pad rows/cols post-affine (see forward kernel)
+            ht = _zero_pad_rows(ht, hi, th=th, d=d, h=h, wpad=wpad)
 
         # pointwise dgrad over the haloed rows (zero g halo → zero dd halo)
         dd = jnp.dot(
-            gt.reshape(thh * w, f), pwt_ref[...],
+            gt.reshape(thh * w_op, f), pwt_ref[...],
             preferred_element_type=jnp.float32,
-        ).reshape(thh, w, c)
+        ).reshape(thh, w_op, c)
 
         # depthwise dgrad: flipped-kernel taps of dd
-        dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True)
+        dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True,
+                           w_out=w if wpad else None)
         if pre_relu:
             # fp32 compare: Mosaic can't lower a bf16 cmpf at this layout
-            uc = ut[d:d + th, :, :].astype(jnp.float32)
-            dh = jnp.where(uc > 0, dh, 0.0)
+            uc = ut[d:d + th, d:d + w, :] if wpad else ut[d:d + th, :, :]
+            dh = jnp.where(uc.astype(jnp.float32) > 0, dh, 0.0)
         if affine:
             # dh is now du (grad at the affine output)
-            xc32 = xt[d:d + th, :, :].astype(jnp.float32)
+            xc = xt[d:d + th, d:d + w, :] if wpad else xt[d:d + th, :, :]
+            xc32 = xc.astype(jnp.float32)
             da_ref[...] += jnp.sum(dh * xc32, axis=(0, 1))[None, :]
             db_ref[...] += jnp.sum(dh, axis=(0, 1))[None, :]
             dh = dh * a_ref[0].astype(jnp.float32)
         dx_ref[0] = dh.astype(dx_ref.dtype)
 
         # depthwise wgrad: 9 taps of h against the center dd rows
-        ddc = dd[d:d + th, :, :]
+        if wpad:
+            ddc = dd[d:d + th, d:d + w, :]
+        else:
+            ddc = dd[d:d + th, :, :]
         for i in range(3):
             rows = ht[i * d:i * d + th, :, :]
             for j in range(3):
-                tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
+                if wpad:
+                    tap = rows[:, j * d:j * d + w, :].astype(jnp.float32)
+                else:
+                    tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
                 ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
 
         # pointwise wgrad: recompute d (rounded to bf16 exactly as the fwd)
-        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d)
+        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
+                             w_out=w if wpad else None)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
-        gc = gt[d:d + th, :, :].reshape(th * w, f)
+        gc = gt[d:d + th, d:d + w, :] if wpad else gt[d:d + th, :, :]
         dpw_ref[...] += lax.dot_general(
-            db, gc, dimension_numbers=(((0,), (0,)), ((), ())),
+            db, gc.reshape(th * w, f),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
-    in_specs = [_halo_spec(th, d, w, c), _halo_spec(th, d, w, f)]
+    in_specs = [_halo_spec(th, d, w_op, c), _halo_spec(th, d, w_op, f)]
     operands = [xp, gp]
     if affine:
         in_specs += [vec_spec, vec_spec]
