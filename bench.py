@@ -75,7 +75,12 @@ def main():
 
     batch = LOCAL_BATCH * n_chips
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, 768, 1152, 16).astype(np.float32))
+    # Inputs are host-cast to bf16 exactly like the production input path
+    # (cli/train.py O1 host cast; bit-identical to the model's own entry
+    # cast).  Feeding fp32 instead costs a ~3 ms/step device-side convert
+    # (r2 trace) that the real driver never pays.
+    x = jnp.asarray(rng.rand(batch, 768, 1152, 16).astype(np.float32),
+                    jnp.bfloat16)
     y = jnp.asarray(rng.randint(0, 3, size=(batch, 768, 1152)).astype(np.int32))
     x = jax.device_put(x, meshlib.batch_sharding(mesh))
     y = jax.device_put(y, meshlib.batch_sharding(mesh))

@@ -19,6 +19,7 @@ def _ref_fwd(x, kernel):
     (2, 6, 8, 5, 7),     # odd channels
     (1, 12, 18, 16, 3),  # last_deconv class: F = n_classes
     (2, 4, 6, 8, 8),
+    (1, 4, 6, 5, 24),    # F > 16: per-phase einsum wgrad path
 ])
 def test_fwd_and_grads_match_xla(shape, method):
     n, h, w, c, f = shape
