@@ -110,27 +110,34 @@ class DeconvUpsampler(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, low_level_features, input_hw, train: bool):
+    def __call__(self, x, low_level_features, input_hw, train: bool,
+                 block_logits: bool = False):
+        # Fuse each BN-apply + ReLU pair into one op (identical math; see
+        # BatchNorm2d.relu) — the decoder sits in the dilated deconvs'
+        # layout-conversion neighborhood where a separate relu pays a full
+        # copy pair.  DEEPCAM_BN_RELU=0 restores the two-op form.
+        fr = os.environ.get("DEEPCAM_BN_RELU", "1") == "1"
+
+        def bn_relu(x, name):
+            x = BatchNorm2d(dtype=self.dtype, name=name)(x, train, relu=fr)
+            return x if fr else nn.relu(x)
+
         x = ConvTranspose2d(256, dtype=self.dtype, name="deconv1")(x)
-        x = BatchNorm2d(dtype=self.dtype, name="deconv1_bn")(x, train)
-        x = nn.relu(x)
+        x = bn_relu(x, "deconv1_bn")
         x = ConvTranspose2d(256, dtype=self.dtype, name="deconv2")(x)
-        x = BatchNorm2d(dtype=self.dtype, name="deconv2_bn")(x, train)
-        x = nn.relu(x)
+        x = bn_relu(x, "deconv2_bn")
 
         x = jnp.concatenate([x, low_level_features], axis=-1)  # 256+48=304
         x = Conv2d(
             256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
             dtype=self.dtype, name="conv0",
         )(x)
-        x = BatchNorm2d(dtype=self.dtype, name="bn0")(x, train)
-        x = nn.relu(x)
+        x = bn_relu(x, "bn0")
         x = Conv2d(
             256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
             dtype=self.dtype, name="conv1",
         )(x)
-        x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
-        x = nn.relu(x)
+        x = bn_relu(x, "bn1")
         # 1x1 conv with bias (torch default bias=True at :366)
         x = Conv2d(
             256, 1, use_bias=True, kernel_init=torch_default_conv_kernel_init(),
@@ -144,8 +151,7 @@ class DeconvUpsampler(nn.Module):
             method=os.environ.get("DEEPCAM_DECONV3") or None,
             name="deconv3",
         )(x)
-        x = BatchNorm2d(dtype=self.dtype, name="deconv3_bn")(x, train)
-        x = nn.relu(x)
+        x = bn_relu(x, "deconv3_bn")
         # The F = n_classes output makes the dilated schedule pick H-major
         # blocked layouts (r2 trace: ~1.4 ms layout copies around the relu/
         # BN region) and its d2s forward won the grad-only sweep (201.1 vs
@@ -159,7 +165,7 @@ class DeconvUpsampler(nn.Module):
             self.n_classes, dtype=self.dtype,
             method=os.environ.get("DEEPCAM_DECONV_LAST") or None,
             name="last_deconv",
-        )(x)
+        )(x, block_out=block_logits)
         return x
 
 
@@ -178,9 +184,14 @@ class DeepLabv3plus(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, freeze_bn: bool = False):
+    def __call__(self, x, train: bool = False, freeze_bn: bool = False,
+                 block_logits: bool = False):
         # freeze_bn: run BN in eval mode during training (parity:
         # ``DeepLabv3_plus.freeze_bn``, deeplab_xception.py:467-470)
+        # block_logits: return logits in BLOCK SPACE (N, H/2, W/2, 4, C)
+        # — ``space_to_blocks`` of the full-res logits, computed without
+        # the full-res materialization (deconv decoder only; the loss/IoU
+        # are pixel-order-invariant, see train/trainer.py).
         bn_train = train and not freeze_bn
         input_hw = x.shape[1:3]
         x = x.astype(self.dtype)
@@ -232,12 +243,16 @@ class DeepLabv3plus(nn.Module):
 
         if self.decoder == "deconv":
             out = DeconvUpsampler(self.n_classes, dtype=self.dtype, name="upsample")(
-                x, low, input_hw, train
+                x, low, input_hw, train, block_logits=block_logits
             )
         elif self.decoder == "interpolation":
             out = InterpolationUpsampler(
                 self.n_classes, dtype=self.dtype, name="upsample"
             )(x, low, input_hw, train)
+            if block_logits:
+                from ..ops.deconv import space_to_blocks
+
+                out = space_to_blocks(out)
         else:
             raise ValueError(f"unknown decoder {self.decoder!r}")
 

@@ -314,7 +314,13 @@ class ConvTranspose2d(nn.Module):
     method: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, block_out: bool = False) -> Array:
+        """``block_out=True`` returns the output in BLOCK SPACE
+        (N, H, W, 4, F) with block index = (row phase, col phase) — i.e.
+        ``space_to_blocks`` of the full-res output, computed without ever
+        materializing the (N, 2H, 2W, F) tensor on the fast path (see
+        ops/deconv.py:deconv3x3s2_blocks).  Used by the train step for the
+        pixel-order-invariant loss/IoU."""
         kh, kw = _to_pair(self.kernel_size)
         sh, sw = _to_pair(self.stride)
         ph, pw = _to_pair(self.padding)
@@ -336,6 +342,30 @@ class ConvTranspose2d(nn.Module):
             and (oph, opw) == (1, 1)
         )
         use_vjp = os.environ.get("DEEPCAM_DECONV_VJP", "1") == "1"
+        if block_out:
+            assert is_k3s2, "block_out requires the k3/s2/p1/op1 deconv"
+            n, h, w = xc.shape[0], xc.shape[1], xc.shape[2]
+            if use_vjp:
+                from deepcam_tpu.ops.deconv import deconv3x3s2_blocks
+
+                y = deconv3x3s2_blocks(xc, kernel.astype(self.dtype))
+                y = y.reshape(n, h, w, 4, self.features)
+            else:
+                from deepcam_tpu.ops.deconv import space_to_blocks
+
+                yf = lax.conv_general_dilated(
+                    xc, k, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = space_to_blocks(yf)
+            if self.use_bias:
+                fan_in = self.features * kh * kw
+                bias = self.param(
+                    "bias", torch_default_bias_init(fan_in),
+                    (self.features,), self.param_dtype,
+                )
+                y = y + bias.astype(y.dtype)
+            return y
         if method in ("dilated", "d2s", "polyphase") and is_k3s2 and use_vjp:
             # Selectable XLA forward schedule, custom backward: XLA's
             # autodiff through the dilated schedule emits a reverse/pad/
@@ -485,12 +515,12 @@ def get_sepconv_impl() -> str:
 # Fold each rep-unit BatchNorm's APPLY into the next sepconv unit's kernel
 # (BatchNorm2d(fold=True) → SeparableConv2dSame(bn_fold=...)).  Numerics are
 # the identical bf16 FMA either way; the fold only moves the elementwise
-# apply (and its backward) out of separate HBM passes.  Opt-in
-# (DEEPCAM_BN_FOLD=1 or set_bn_fold(True)): whole-model A/B on v5e
-# (scripts/bnfold_ab.py) measured it NEUTRAL — 0.999x at batch 2, 1.004x at
-# batch 4 — XLA already overlaps the separate BN-apply pass with the
-# custom-call, so the fold buys nothing and costs compile time.
-_BN_FOLD = False
+# apply (and its backward) out of separate HBM passes.  Standalone it was
+# NEUTRAL (0.999x b2 / 1.004x b4, scripts/bnfold_ab.py) — but combined with
+# kernel-emitted BN stats (fused_stats_active) the BN has no full-tensor
+# pass left at all and the fold wins: 21.72 → 22.02 samples/s/chip on v5e
+# (PERF.md r2).  Default ON; DEEPCAM_BN_FOLD=0 opts out.
+_BN_FOLD = True
 
 
 def set_bn_fold(on: bool) -> None:
@@ -507,6 +537,31 @@ def bn_fold_active() -> bool:
     if env == "1":
         return True
     return _BN_FOLD
+
+
+# Emit BN statistics (partial Σy/Σy²) from the fused sepconv kernel and
+# feed them to the following BatchNorm2d (``stats=``) instead of re-reading
+# the sepconv output with two full reduction passes (train mode only —
+# eval BNs use running stats).  Default ON: whole-model A/B on v5e measured
+# 21.10 → 21.72 samples/s/chip (PERF.md r2).  DEEPCAM_FUSED_STATS=0 opts
+# out (or set_fused_stats(False) has no effect once env forces it).
+_FUSED_STATS = True
+
+
+def set_fused_stats(on: bool) -> None:
+    global _FUSED_STATS
+    _FUSED_STATS = bool(on)
+
+
+def fused_stats_active() -> bool:
+    import os
+
+    env = os.environ.get("DEEPCAM_FUSED_STATS")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return _FUSED_STATS
 
 
 def _fused_sepconv_active() -> Tuple[bool, bool]:
@@ -681,12 +736,17 @@ class SeparableConv2dSame(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, bn_fold=None) -> Array:
+    def __call__(self, x: Array, bn_fold=None, emit_stats: bool = False):
         """``bn_fold`` (optional) is the ``(a, b)`` pair returned by the
         preceding ``BatchNorm2d(..., fold=True)``: the BN-apply
         ``x*a + b`` runs inside the fused kernel on TPU (one less HBM
         round-trip per rep unit) and as the identical elementwise FMA on
-        the unfused path."""
+        the unfused path.
+
+        ``emit_stats=True`` changes the return to ``(y, stats)`` where
+        ``stats`` is the fused kernel's partial ``(Σy, Σy²)`` pair for the
+        following ``BatchNorm2d(..., stats=...)`` — or None when this call
+        lowered to the unfused path (the BN then reduces y itself)."""
         import os
 
         in_ch = x.shape[-1]
@@ -704,6 +764,8 @@ class SeparableConv2dSame(nn.Module):
             from ..ops.pallas.fused_sepconv import (
                 fused_sepconv,
                 fused_sepconv_affine,
+                fused_sepconv_affine_stats,
+                fused_sepconv_stats,
             )
 
             dwk = _KernelParam(
@@ -716,7 +778,9 @@ class SeparableConv2dSame(nn.Module):
             )()
             if bn_fold is not None:
                 a, b = bn_fold
-                return fused_sepconv_affine(
+                fn = fused_sepconv_affine_stats if emit_stats else (
+                    fused_sepconv_affine)
+                out = fn(
                     x.astype(self.dtype),
                     a.astype(self.dtype),
                     b.astype(self.dtype),
@@ -726,14 +790,20 @@ class SeparableConv2dSame(nn.Module):
                     self.dilation,
                     interpret,
                 )
-            return fused_sepconv(
-                x.astype(self.dtype),
-                dwk[:, :, 0, :].astype(self.dtype),
-                pwk[0, 0].astype(self.dtype),
-                self.pre_relu,
-                self.dilation,
-                interpret,
-            )
+            else:
+                fn = fused_sepconv_stats if emit_stats else fused_sepconv
+                out = fn(
+                    x.astype(self.dtype),
+                    dwk[:, :, 0, :].astype(self.dtype),
+                    pwk[0, 0].astype(self.dtype),
+                    self.pre_relu,
+                    self.dilation,
+                    interpret,
+                )
+            if emit_stats:
+                y, s1, s2 = out
+                return y, (s1, s2)
+            return out
         if bn_fold is not None:
             # unfused path: the BN-apply FMA, exactly as BatchNorm2d does it
             a, b = bn_fold
@@ -776,6 +846,8 @@ class SeparableConv2dSame(nn.Module):
             param_dtype=self.param_dtype,
             name="pointwise",
         )(x)
+        if emit_stats:
+            return x, None
         return x
 
 
@@ -808,14 +880,24 @@ class BatchNorm2d(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool, fold: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool, fold: bool = False,
+                 relu: bool = False, stats=None) -> Array:
         """Normalize ``x`` (NHWC) over NHW.
 
         With ``fold=True`` the apply is NOT materialized: the per-channel
         coefficients ``(a, b)`` of ``y = x*a + b`` are returned (in
         ``self.dtype``) for the consumer to fold into its own kernel —
         statistics computation, running-stat updates, and the autodiff path
-        through mean/var are identical either way.
+        through mean/var are identical either way.  ``relu=True`` fuses the
+        following ReLU into the apply (same math as ``nn.relu(bn(x))``).
+
+        ``stats=(s1, s2)`` (train only) supplies per-tile partial (Σx, Σx²)
+        sums of ``x`` — fp32, any leading shape, channel-last — emitted by
+        the producing fused-sepconv kernel; the batch mean/variance then
+        come from these tiny partials instead of two full reduction passes
+        over ``x``.  Variance uses the one-pass E[x²]−E[x]² form (fp32);
+        gradients still flow to ``x`` through the partials' producer (the
+        kernel's custom VJP), with identical math to the two-pass form.
         """
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
@@ -832,7 +914,24 @@ class BatchNorm2d(nn.Module):
         # reduce and never materializes an fp32 copy of the activation (a
         # shared `x32 = x.astype(f32)` materialized ~2.8 GB of copies per
         # step at full resolution — see PERF.md).
-        if train:
+        if train and stats is not None:
+            s1, s2 = stats
+            red = tuple(range(s1.ndim - 1))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            mean = jnp.sum(s1, axis=red) / n
+            ex2 = jnp.sum(s2, axis=red) / n
+            if self.axis_name is not None:
+                mean = lax.pmean(mean, self.axis_name)
+                ex2 = lax.pmean(ex2, self.axis_name)
+                n = n * lax.psum(1, self.axis_name)
+            # one-pass variance; clamp the fp32 cancellation residue
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        elif train:
             # pass 1: mean with fp32 accumulation
             mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
             n = x.shape[0] * x.shape[1] * x.shape[2]
@@ -864,4 +963,11 @@ class BatchNorm2d(nn.Module):
         b = (bias.astype(jnp.float32) - mean * inv).astype(self.dtype)
         if fold:
             return a, b
-        return x.astype(self.dtype) * a + b
+        y = x.astype(self.dtype) * a + b
+        if relu:
+            # fused BN-apply+ReLU: identical math to nn.relu(bn(x)) but ONE
+            # materialization — in layout-conversion-heavy regions (the
+            # decoder's dilated-deconv neighborhood) the separate relu op
+            # pays an extra full-tensor copy pair (r2 trace).
+            y = jnp.maximum(y, 0)
+        return y

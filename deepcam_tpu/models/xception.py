@@ -27,6 +27,7 @@ from .layers import (
     Conv2d,
     SeparableConv2dSame,
     bn_fold_active,
+    fused_stats_active,
     kaiming_normal_torch,
 )
 
@@ -91,6 +92,9 @@ class XceptionBlock(nn.Module):
         # chain-final BN feeds the residual add (or nothing follows), so it
         # always applies normally.
         fold = bn_fold_active()
+        # in train mode the fused sepconv kernel can emit the following
+        # BN's (Σy, Σy²) partials from VMEM (layers.fused_stats_active())
+        emit = fused_stats_active() and train
         has_tail = self.stride != 1 or self.is_last
         ab = None
         for i, feat in enumerate(units):
@@ -105,13 +109,18 @@ class XceptionBlock(nn.Module):
                 pre_relu=i > 0,
                 dtype=self.dtype,
                 name=f"sepconv{i}",
-            )(x, bn_fold=ab)
+            )(x, bn_fold=ab, emit_stats=emit)
+            st = None
+            if emit:
+                x, st = x
             if fold and (i < len(units) - 1 or has_tail):
                 ab = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(
-                    x, train, fold=True
+                    x, train, fold=True, stats=st
                 )
             else:
-                x = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(x, train)
+                x = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(
+                    x, train, stats=st
+                )
                 ab = None
 
         if self.stride != 1:
@@ -224,33 +233,40 @@ class Xception(nn.Module):
             name="block20",
         )(x, train)
 
-        x = SeparableConv2dSame(
-            1536, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv3"
-        )(x)
-        # bn3/bn4 feed only the next sepconv → fold their applies into it
         fold = bn_fold_active()
+        emit = fused_stats_active() and train
+
+        def unpack(out):
+            return out if emit else (out, None)
+
+        x, st = unpack(SeparableConv2dSame(
+            1536, 3, stride=1, dilation=exit_block_rates[1], dtype=self.dtype, name="conv3"
+        )(x, emit_stats=emit))
+        # bn3/bn4 feed only the next sepconv → fold their applies into it
         ab = None
         if fold:
-            ab = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train, fold=True)
+            ab = BatchNorm2d(dtype=self.dtype, name="bn3")(
+                x, train, fold=True, stats=st)
         else:
-            x = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train)
+            x = BatchNorm2d(dtype=self.dtype, name="bn3")(x, train, stats=st)
 
         # the inter-conv ReLUs are declared on the sepconvs (fusable on TPU)
-        x = SeparableConv2dSame(
+        x, st = unpack(SeparableConv2dSame(
             1536, 3, stride=1, dilation=exit_block_rates[1], pre_relu=True,
             dtype=self.dtype, name="conv4"
-        )(x, bn_fold=ab)
+        )(x, bn_fold=ab, emit_stats=emit))
         if fold:
-            ab = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train, fold=True)
+            ab = BatchNorm2d(dtype=self.dtype, name="bn4")(
+                x, train, fold=True, stats=st)
         else:
-            x = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train)
+            x = BatchNorm2d(dtype=self.dtype, name="bn4")(x, train, stats=st)
             ab = None
 
-        x = SeparableConv2dSame(
+        x, st = unpack(SeparableConv2dSame(
             2048, 3, stride=1, dilation=exit_block_rates[1], pre_relu=True,
             dtype=self.dtype, name="conv5"
-        )(x, bn_fold=ab)
-        x = BatchNorm2d(dtype=self.dtype, name="bn5")(x, train)
+        )(x, bn_fold=ab, emit_stats=emit))
+        x = BatchNorm2d(dtype=self.dtype, name="bn5")(x, train, stats=st)
         x = nn.relu(x)
 
         return x, low_level_feat

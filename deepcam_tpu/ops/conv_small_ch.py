@@ -107,7 +107,9 @@ def _bwd(stride, res, g):
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     oh, ow = g.shape[1], g.shape[2]
-    g32 = g.astype(jnp.float32)
+    # bf16 operands: products of bf16 inputs are exact in the MXU fp32
+    # accumulator (preferred_element_type); an explicit fp32 upcast only
+    # materializes fp32 copies of the operands (r2 trace, see ops/deconv.py)
     rows = []
     for i in range(3):
         cols = []
@@ -121,8 +123,8 @@ def _bwd(stride, res, g):
             cols.append(
                 jnp.einsum(
                     "nhwc,nhwd->cd",
-                    tap.astype(jnp.float32),
-                    g32,
+                    tap,
+                    g,
                     preferred_element_type=jnp.float32,
                 )
             )
@@ -238,13 +240,13 @@ def _s2d_bwd(res, g):
 
     # wgrad: four CONTIGUOUS taps of the block-padded input on the MXU
     xp = jnp.pad(xs, ((0, 0), (1, 0), (1, 0), (0, 0)))
-    g32 = g.astype(jnp.float32)
+    # bf16 operands, fp32 MXU accumulation (exact for bf16 inputs)
     taps = []
     for bh in range(2):
         for bw in range(2):
             tap = lax.slice(xp, (0, bh, bw, 0), (n, bh + oh, bw + ow, c4))
             taps.append(jnp.einsum(
-                "nhwc,nhwd->cd", tap.astype(jnp.float32), g32,
+                "nhwc,nhwd->cd", tap, g,
                 preferred_element_type=jnp.float32,
             ))
     dk2 = jnp.stack(taps).reshape(2, 2, 2, 2, c, co)  # (bh, bw, ph, pw, c, co)
@@ -305,7 +307,7 @@ def _c1s2_bwd(res, g):
     xs = _s2d(x)
     x00 = lax.slice(xs, (0, 0, 0, 0), (n, h // 2, w // 2, c))
     dk = jnp.einsum(
-        "nhwc,nhwf->cf", x00.astype(jnp.float32), g.astype(jnp.float32),
+        "nhwc,nhwf->cf", x00, g,
         preferred_element_type=jnp.float32,
     )
     return dx.astype(x.dtype), dk.reshape(1, 1, c, f).astype(kernel.dtype)

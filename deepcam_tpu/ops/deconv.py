@@ -54,12 +54,12 @@ def _dilated_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
 _D2S_SEL = {(0, 0): 1, (0, 1): 0, (1, 1): 2}
 
 
-def _d2s_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Same map as ``_dilated_fwd`` via ONE dense 2x2/s1 conv emitting all
-    four output phases as 4F channels + depth-to-space (full MXU density; the
-    phase/derivation comments live on ``ConvTranspose2d._d2s_k3s2``)."""
-    n, h, w, c = x.shape
+def _block_conv_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """The d2s schedule's dense 2x2/s1 conv emitting all four output phases
+    as (N, H, W, (a, b, F)) block-space channels — WITHOUT the final
+    depth-to-space shuffle."""
     f = kernel.shape[-1]
+    c = x.shape[-1]
     kf = jnp.flip(kernel, axis=(0, 1))
     zero = jnp.zeros_like(kf[0, 0])
 
@@ -79,10 +79,19 @@ def _d2s_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
         for dh in range(2)
     ])  # (dh, dw, a, b, C, F)
     k2 = k2.transpose(0, 1, 4, 2, 3, 5).reshape(2, 2, c, 4 * f)
-    y4 = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x, k2, (1, 1), ((0, 1), (0, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )  # (N, H, W, (a, b, F))
+
+
+def _d2s_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Same map as ``_dilated_fwd`` via ONE dense 2x2/s1 conv emitting all
+    four output phases as 4F channels + depth-to-space (full MXU density; the
+    phase/derivation comments live on ``ConvTranspose2d._d2s_k3s2``)."""
+    n, h, w, c = x.shape
+    f = kernel.shape[-1]
+    y4 = _block_conv_fwd(x, kernel)
     y = y4.reshape(n, h, w, 2, 2, f).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(n, 2 * h, 2 * w, f)
 
@@ -153,8 +162,11 @@ def _bwd(method, res, g):
     # s2d(dy) at a 0/-1 block shift, so nine per-phase einsums over the
     # once-padded s2d(dy) compute it at the inherent FLOP count (no d2s
     # tap-slot overdo) with lane-aligned channel slices (offsets are
-    # multiples of F).  fp32 products/accumulation.
-    x32 = x.astype(jnp.float32)
+    # multiples of F).  Operands stay bf16: products of bf16-valued inputs
+    # are exact in the MXU's fp32 accumulator (preferred_element_type), so
+    # this equals the fp32-operand form while halving operand bytes — an
+    # explicit x.astype(f32) materialized ~906 MB of fp32 copies/pads
+    # around last_deconv's (4,384,576,256) residual (r2 trace).
 
     if f <= 16:
         gs = _s2d(g)  # (N, H, W, (ph, pw, F))
@@ -174,7 +186,7 @@ def _bwd(method, res, g):
         taps = jnp.concatenate(
             [tap(ky, kx) for ky in range(3) for kx in range(3)], axis=-1)
         dkt = jnp.einsum(
-            "nhwk,nhwc->kc", taps.astype(jnp.float32), x32,
+            "nhwk,nhwc->kc", taps, x,
             preferred_element_type=jnp.float32,
         ).reshape(3, 3, f, c)
     else:
@@ -185,13 +197,13 @@ def _bwd(method, res, g):
         # real taps are selected from them (1.78x MAC overdo on an
         # MXU-dense contraction beats the formatting+re-read traffic).
         gview = g.reshape(n, h, 2, w, 2, f)
-        xe = jnp.pad(x32, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        xe = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         E = {}
         for dh in range(2):
             for dw in range(2):
                 xs = lax.slice(xe, (0, dh, dw, 0), (n, dh + h, dw + w, c))
                 E[(dh, dw)] = jnp.einsum(
-                    "nipjqf,nijc->pqfc", gview.astype(jnp.float32), xs,
+                    "nipjqf,nijc->pqfc", gview, xs,
                     preferred_element_type=jnp.float32,
                 )
         # (phase, x-shift) per kernel tap index: ky=0 reads dy phase 1 one
@@ -211,3 +223,107 @@ def _bwd(method, res, g):
 
 
 deconv3x3s2.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# block-space output variant
+# ---------------------------------------------------------------------------
+
+_S2D_INV = {v: k for k, v in _S2D_SEL.items()}  # (block shift, phase) → ky
+
+
+@jax.custom_vjp
+def deconv3x3s2_blocks(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """``deconv3x3s2`` that returns BLOCK-SPACE output (N, H, W, (a, b, F)):
+    channel index = (row phase a, col phase b, F), i.e. exactly
+    ``_s2d(deconv3x3s2(x, kernel))`` — without ever materializing the
+    full-resolution (N, 2H, 2W, F) tensor or its layout conversions.
+
+    Motivation (r2 trace): the final decoder deconv's tiny F = n_classes
+    makes every full-res schedule pick pathological layouts — the dilated
+    form drags batch-in-sublane conv layouts through the preceding BN/ReLU
+    (~14 ms/step of reformat copies around deconv3_bn at batch 4) and the
+    d2s form's pixel-shuffle poisons the loss consumers (PERF.md r2).  The
+    weighted-CE loss and IoU are pixel-order-invariant, so the train step
+    can consume block space directly (labels space-to-depth'd to match);
+    parity: the reference computes the same loss on the same pixel multiset
+    (``train_hdf5_ddp.py:352-356``).
+
+    The backward never leaves block space either: dx is one dense 2x2/s1
+    conv of the block cotangent with the block-space transposed kernel; dk
+    re-uses the per-phase tap einsums with the cotangent ALREADY in s2d
+    layout (the ``_s2d(dy)`` transpose of the full-res path vanishes).
+    """
+    return _block_conv_fwd(x, kernel)
+
+
+def _blk_fwd(x, kernel):
+    return _block_conv_fwd(x, kernel), (x, kernel)
+
+
+def _blk_bwd(res, gb):
+    x, kernel = res
+    n, h, w, c = x.shape
+    f = kernel.shape[-1]
+    gb = gb.astype(x.dtype)  # (N, H, W, (a, b, F))
+
+    # dx[i,j,c] = Σ_{ky,kx,f} dy_full[2i-1+ky, 2j-1+kx, f]·kt[ky,kx,f,c];
+    # with 2i-1+ky = 2(i-1+bh)+ph and (bh, ph) = _S2D_SEL[ky] this is ONE
+    # dense 2x2/s1 conv of gb (pad (1,0)) with the block-space kernel
+    # K2[bh, bw, (ph, pw, f), c] = kt[ky, kx, f, c] (7 of 16 slots zero).
+    kt = kernel.transpose(0, 1, 3, 2).astype(x.dtype)  # (3, 3, F, C)
+    zero = jnp.zeros_like(kt[0, 0])
+
+    def tapk(bh, ph, bw, pw):
+        if (bh, ph) in _S2D_INV and (bw, pw) in _S2D_INV:
+            return kt[_S2D_INV[(bh, ph)], _S2D_INV[(bw, pw)]]
+        return zero
+
+    k2 = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                jnp.stack([tapk(bh, a, bw, b) for b in range(2)])
+                for a in range(2)
+            ])
+            for bw in range(2)
+        ])
+        for bh in range(2)
+    ])  # (bh, bw, a, b, F, C)
+    k2 = k2.reshape(2, 2, 4 * f, c)
+    dx = lax.conv_general_dilated(
+        gb, k2, (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    # dk: per-phase tap einsums of the full-res path, but the cotangent is
+    # already in s2d layout — slice the once-padded gb directly.  bf16
+    # operands, fp32 MXU accumulation (exact for bf16 inputs).
+    gp = jnp.pad(gb, ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+    def tapg(ky, kx):
+        bh, ph = _S2D_SEL[ky]
+        bw, pw = _S2D_SEL[kx]
+        off = (ph * 2 + pw) * f
+        return lax.slice(gp, (0, bh, bw, off), (n, bh + h, bw + w, off + f))
+
+    taps = jnp.concatenate(
+        [tapg(ky, kx) for ky in range(3) for kx in range(3)], axis=-1)
+    dkt = jnp.einsum(
+        "nhwk,nhwc->kc", taps, x, preferred_element_type=jnp.float32,
+    ).reshape(3, 3, f, c)
+    dk = dkt.transpose(0, 1, 3, 2)
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+deconv3x3s2_blocks.defvjp(_blk_fwd, _blk_bwd)
+
+
+def space_to_blocks(y: jax.Array) -> jax.Array:
+    """(N, 2H, 2W, ...) → (N, H, W, 4, ...) with block index = (a, b) —
+    the label/logit reshuffle matching ``deconv3x3s2_blocks``'s channel
+    order.  Trailing dims (e.g. a class axis) are preserved."""
+    n, h2, w2 = y.shape[:3]
+    rest = y.shape[3:]
+    y = y.reshape(n, h2 // 2, 2, w2 // 2, 2, *rest)
+    y = jnp.moveaxis(y, 2, 3)  # (N, H, W, a, b, ...)
+    return y.reshape(n, h2 // 2, w2 // 2, 4, *rest)

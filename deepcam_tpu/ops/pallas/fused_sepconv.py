@@ -191,10 +191,17 @@ def _pad_h(x, d):
 # ---------------------------------------------------------------------------
 
 def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
-                interpret: bool = False, ab=None):
+                interpret: bool = False, ab=None, emit_stats: bool = False):
     """xp is the H-padded input (N, H+2d, W, C).  ``ab`` (optional) is a
     pair of (1, C) per-channel scale/offset applied in-kernel BEFORE the
-    relu — the folded BN-apply of the preceding BatchNorm."""
+    relu — the folded BN-apply of the preceding BatchNorm.
+
+    With ``emit_stats`` the kernel additionally emits per-grid-step partial
+    Σy and Σy² of the ROUNDED output (fp32, shapes (N, nh, F)) from the
+    tile already in VMEM — the consuming BatchNorm then never re-reads the
+    output for its statistics (PERF.md r2: the separate stats passes cost
+    ~5.6 ms/step).  Sums are of the bf16-rounded y, exactly what the
+    separate stats pass would read."""
     n, hp, w_op, c = xp.shape
     f = pwk.shape[-1]
     d = dilation
@@ -207,9 +214,12 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 
     def kernel(*refs):
         if affine:
-            x_ref, a_ref, b_ref, dwk_ref, pwk_ref, out_ref = refs
+            x_ref, a_ref, b_ref, dwk_ref, pwk_ref = refs[:5]
+            outs = refs[5:]
         else:
-            x_ref, dwk_ref, pwk_ref, out_ref = refs
+            x_ref, dwk_ref, pwk_ref = refs[:3]
+            outs = refs[3:]
+        out_ref = outs[0]
         ht = x_ref[0]
         if affine:
             # bf16 FMA — the exact expression BatchNorm2d.apply computes
@@ -225,7 +235,16 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
                              w_out=w if wpad else None)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
         y = jnp.dot(db, pwk_ref[...], preferred_element_type=jnp.float32)
-        out_ref[0] = y.astype(out_ref.dtype).reshape(th, w, f)
+        yr = y.astype(out_ref.dtype)
+        out_ref[0] = yr.reshape(th, w, f)
+        if emit_stats:
+            y32 = yr.astype(jnp.float32)
+            # rows: [Σy, Σy²] — one (2, F) tile per grid step (Mosaic needs
+            # the block's sublane dim to equal the array dim, hence the
+            # stacked pair instead of two (1, F) outputs)
+            outs[1][0, 0] = jnp.stack(
+                [jnp.sum(y32, axis=0), jnp.sum(y32 * y32, axis=0)]
+            )
 
     vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
     in_specs = [_halo_spec(th, d, w_op, c)]
@@ -239,12 +258,20 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     ]
     operands += [dwk, pwk]
 
+    out_specs = pl.BlockSpec((1, th, w, f), lambda ni, hi: (ni, hi, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((n, h, w, f), xp.dtype)
+    if emit_stats:
+        stat_spec = pl.BlockSpec((1, 1, 2, f), lambda ni, hi: (ni, hi, 0, 0))
+        stat_shape = jax.ShapeDtypeStruct((n, nh, 2, f), jnp.float32)
+        out_specs = [out_specs, stat_spec]
+        out_shape = [out_shape, stat_shape]
+
     return pl.pallas_call(
         kernel,
         grid=(n, nh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, w, f), lambda ni, hi: (ni, hi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, f), xp.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -467,3 +494,109 @@ def _fsa_bwd(pre_relu, dilation, interpret, res, g):
 
 
 fused_sepconv_affine.defvjp(_fsa_fwd, _fsa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# stats-emitting variants
+# ---------------------------------------------------------------------------
+#
+# ``*_stats`` variants additionally return per-(image, row-tile) partial
+# (Σy, Σy²) of the bf16-rounded output, shapes (N, nh, F) fp32 — emitted by
+# the forward kernel from the tile already in VMEM.  The consuming
+# BatchNorm2d (``stats=``) then never re-reads y for its statistics.  The
+# VJP is exact: cotangents arriving on the stats outputs are folded into
+# y's cotangent as  dy += gs1 + 2·y·gs2  (the Jacobian of Σy / Σy² per
+# tile) in one XLA elementwise pass over (y, g) before the fused backward
+# kernel — the same math XLA autodiff produces for explicit Σy/Σy²
+# reductions, so BN's gradient path through mean/var is unchanged.
+
+
+def _stats_adjust(gy, gs1, gs2, y, th):
+    """dy_total = gy + gs1[tile] + 2·y·gs2[tile], fp32, cast to y.dtype."""
+    n, h, w, f = y.shape
+    nh = h // th
+    b1 = jnp.broadcast_to(
+        gs1[:, :, None, None, :], (n, nh, th, w, f)
+    ).reshape(n, h, w, f)
+    b2 = jnp.broadcast_to(
+        gs2[:, :, None, None, :], (n, nh, th, w, f)
+    ).reshape(n, h, w, f)
+    g32 = gy.astype(jnp.float32) + b1 + 2.0 * y.astype(jnp.float32) * b2
+    return g32.astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_sepconv_stats(x, dwk, pwk, pre_relu: bool = True,
+                        dilation: int = 1, interpret: bool = False):
+    """``fused_sepconv`` that also returns (Σy, Σy²) tile partials.
+
+    Returns ``(y, s1, s2)`` with y as ``fused_sepconv`` and s1/s2 of shape
+    (N, nh, F) in fp32; ``s1.sum((0,1))`` == ``y.astype(f32).sum((0,1,2))``
+    exactly (same fp32 accumulation order per tile)."""
+    y, s = _fwd_pallas(_pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu,
+                       dilation=dilation, interpret=interpret,
+                       emit_stats=True)
+    return y, s[:, :, 0], s[:, :, 1]
+
+
+def _fss_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
+    xp = _pad_h(x, dilation)
+    y, s = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
+                       dilation=dilation, interpret=interpret,
+                       emit_stats=True)
+    return (y, s[:, :, 0], s[:, :, 1]), (xp, dwk, pwk, y)
+
+
+def _fss_bwd(pre_relu, dilation, interpret, res, g):
+    xp, dwk, pwk, y = res
+    gy, gs1, gs2 = g
+    th = _pick_row_tile(y.shape[1], y.shape[2], xp.shape[-1],
+                        pwk.shape[-1], dilation)
+    gadj = _stats_adjust(gy, gs1, gs2, y, th)
+    dx, ddw, dpw = _bwd_pallas(
+        xp, _pad_h(gadj, dilation), dwk, pwk.T,
+        pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+    )
+    return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
+
+
+fused_sepconv_stats.defvjp(_fss_fwd, _fss_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_sepconv_affine_stats(x, a, b, dwk, pwk, pre_relu: bool = True,
+                               dilation: int = 1, interpret: bool = False):
+    """``fused_sepconv_affine`` that also returns (Σy, Σy²) tile partials."""
+    y, s = _fwd_pallas(
+        _pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+        interpret=interpret, ab=(a.reshape(1, -1), b.reshape(1, -1)),
+        emit_stats=True,
+    )
+    return y, s[:, :, 0], s[:, :, 1]
+
+
+def _fsas_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
+    xp = _pad_h(x, dilation)
+    y, s = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
+                       dilation=dilation, interpret=interpret,
+                       ab=(a.reshape(1, -1), b.reshape(1, -1)),
+                       emit_stats=True)
+    return (y, s[:, :, 0], s[:, :, 1]), (xp, a, b, dwk, pwk, y)
+
+
+def _fsas_bwd(pre_relu, dilation, interpret, res, g):
+    xp, a, b, dwk, pwk, y = res
+    gy, gs1, gs2 = g
+    th = _pick_row_tile(y.shape[1], y.shape[2], xp.shape[-1],
+                        pwk.shape[-1], dilation)
+    gadj = _stats_adjust(gy, gs1, gs2, y, th)
+    dx, ddw, dpw, da, db = _bwd_pallas(
+        xp, _pad_h(gadj, dilation), dwk, pwk.T,
+        pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)),
+    )
+    return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
+            ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
+
+
+fused_sepconv_affine_stats.defvjp(_fsas_fwd, _fsas_bwd)

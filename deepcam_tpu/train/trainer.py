@@ -72,12 +72,26 @@ def make_train_step(
     the logging-step reductions at train_hdf5_ddp.py:398-410).
     """
 
+    # Block-space loss (default ON, DEEPCAM_BLOCK_LOSS=0 opts out): the
+    # model returns logits as (N, H/2, W/2, 4, C) blocks — never
+    # materializing the full-res logits whose tiny class dim forces
+    # pathological layouts through the decoder (r2 trace: ~14 ms/step of
+    # batch-in-sublane reformat copies around deconv3_bn) — and the labels
+    # are space-to-depth'd to match.  The weighted-CE mean and the IoU
+    # counts are pixel-order-invariant, so train metrics are identical
+    # (up to fp summation order) to the full-res form the reference
+    # computes (train_hdf5_ddp.py:352-356).
+    import os
+
+    block_loss = os.environ.get("DEEPCAM_BLOCK_LOSS", "1") == "1"
+
     def _apply(params, batch_stats, x):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
             train=True,
             mutable=["batch_stats"],
+            block_logits=block_loss,
         )
 
     apply_fn = _apply
@@ -95,6 +109,10 @@ def make_train_step(
         return loss, (logits, updates["batch_stats"])
 
     def local_step(state: TrainState, x, y):
+        if block_loss:
+            from ..ops.deconv import space_to_blocks
+
+            y = space_to_blocks(y)
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, x, y)

@@ -93,3 +93,77 @@ def test_layer_uses_custom_vjp_and_matches(monkeypatch):
     k_off = gv_off["params"]["kernel"]
     np.testing.assert_allclose(
         np.asarray(k_on), np.asarray(k_off), rtol=1e-5, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# block-space output variant
+# ---------------------------------------------------------------------------
+
+class TestBlocksVariant:
+    """``deconv3x3s2_blocks``: forward equals ``space_to_blocks`` of the
+    full-res deconv, and the never-leaves-block-space backward matches
+    autodiff of that composition."""
+
+    @pytest.mark.parametrize("n,h,w,c,f", [
+        (2, 8, 6, 16, 3),     # last_deconv-like tiny F
+        (1, 6, 10, 8, 24),    # F > C
+        (2, 10, 8, 24, 16),
+    ])
+    def test_forward_and_grads(self, n, h, w, c, f):
+        from deepcam_tpu.ops.deconv import (
+            deconv3x3s2_blocks,
+            space_to_blocks,
+        )
+
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        k = jnp.asarray(0.3 * rng.randn(3, 3, c, f), jnp.float32)
+        ct = jnp.asarray(rng.randn(n, h, w, 4 * f), jnp.float32)
+
+        got = deconv3x3s2_blocks(x, k)
+        want = space_to_blocks(_ref_fwd(x, k)).reshape(n, h, w, 4 * f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+        def loss_blocks(x, k):
+            return jnp.sum(deconv3x3s2_blocks(x, k) * ct)
+
+        def loss_ref(x, k):
+            yb = space_to_blocks(_ref_fwd(x, k)).reshape(n, h, w, 4 * f)
+            return jnp.sum(yb * ct)
+
+        gx, gk = jax.grad(loss_blocks, argnums=(0, 1))(x, k)
+        rx, rk = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4, err_msg="dx")
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                                   rtol=1e-4, atol=1e-4, err_msg="dk")
+
+    def test_space_to_blocks_roundtrip(self):
+        from deepcam_tpu.ops.deconv import space_to_blocks
+
+        rng = np.random.RandomState(12)
+        y = jnp.asarray(rng.randn(2, 8, 6, 3), jnp.float32)
+        yb = space_to_blocks(y)
+        assert yb.shape == (2, 4, 3, 4, 3)
+        # block (a, b) at tile (i, j) is full-res pixel (2i+a, 2j+b)
+        np.testing.assert_array_equal(
+            np.asarray(yb[:, 1, 2, 3]), np.asarray(y[:, 3, 5]))
+        np.testing.assert_array_equal(
+            np.asarray(yb[:, 0, 0, 1]), np.asarray(y[:, 0, 1]))
+
+    def test_labels_match_logits_blocking(self):
+        """space_to_blocks on (N, H, W) labels uses the same (a, b) order
+        as on (N, H, W, C) logits — the pairing the block loss relies on."""
+        from deepcam_tpu.ops.deconv import space_to_blocks
+
+        rng = np.random.RandomState(13)
+        logits = jnp.asarray(rng.randn(2, 8, 6, 3), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, 3, (2, 8, 6)), jnp.int32)
+        lb = space_to_blocks(logits)
+        tb = space_to_blocks(labels)
+        # the (pred, label) multiset of pairs is preserved position-wise
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(lb, -1).reshape(-1)),
+            np.asarray(space_to_blocks(jnp.argmax(logits, -1)).reshape(-1)))
+        assert tb.shape == lb.shape[:-1]

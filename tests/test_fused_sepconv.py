@@ -191,3 +191,130 @@ class TestModelWiring:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4),
             g_f, g_x,
         )
+
+
+# ---------------------------------------------------------------------------
+# stats-emitting variants
+# ---------------------------------------------------------------------------
+
+class TestStatsVariants:
+    """``fused_sepconv_stats`` / ``fused_sepconv_affine_stats``: the tile
+    partial (Σy, Σy²) outputs and the exactness of the stats cotangent
+    path (dy += gs1 + 2·y·gs2) against explicit XLA reductions."""
+
+    def test_partials_sum_to_reductions(self):
+        from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv_stats
+
+        rng = np.random.RandomState(5)
+        n, h, w, c, f = 2, 16, 12, 16, 24
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+
+        y, s1, s2 = fused_sepconv_stats(x, dwk, pwk, True, 1, True)
+        y32 = np.asarray(y, np.float64)
+        np.testing.assert_allclose(
+            np.asarray(s1).sum((0, 1)), y32.sum((0, 1, 2)),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s2).sum((0, 1)), (y32 * y32).sum((0, 1, 2)),
+            rtol=1e-5, atol=1e-5)
+        # y itself is unchanged vs the plain kernel
+        np.testing.assert_array_equal(
+            np.asarray(y), np.asarray(fused_sepconv(x, dwk, pwk, True, 1,
+                                                    True)))
+
+    @pytest.mark.parametrize("affine", [False, True])
+    def test_bn_style_gradient_parity(self, affine):
+        """Loss normalizes y with mean/var derived from the kernel stats —
+        gradients must equal the same loss with mean/var reduced from y
+        directly (the unfused BN path)."""
+        from deepcam_tpu.ops.pallas.fused_sepconv import (
+            fused_sepconv_affine_stats,
+            fused_sepconv_stats,
+        )
+
+        rng = np.random.RandomState(6)
+        n, h, w, c, f = 2, 16, 12, 16, 16
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        a = jnp.asarray(1.0 + 0.3 * rng.randn(c), jnp.float32)
+        b = jnp.asarray(0.3 * rng.randn(c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+        ct = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+        cnt = n * h * w
+
+        def norm_loss(y, mean, var):
+            yn = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+            return jnp.sum(yn * ct)
+
+        def loss_stats(x, dwk, pwk):
+            if affine:
+                y, s1, s2 = fused_sepconv_affine_stats(
+                    x, a, b, dwk, pwk, True, 1, True)
+            else:
+                y, s1, s2 = fused_sepconv_stats(x, dwk, pwk, True, 1, True)
+            mean = jnp.sum(s1, axis=(0, 1)) / cnt
+            var = jnp.sum(s2, axis=(0, 1)) / cnt - mean * mean
+            return norm_loss(y, mean, var)
+
+        def loss_ref(x, dwk, pwk):
+            xin = x * a + b if affine else x
+            y = _reference(xin, dwk, pwk, True, 1)
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.mean(y * y, axis=(0, 1, 2)) - mean * mean
+            return norm_loss(y, mean, var)
+
+        gs = jax.grad(loss_stats, argnums=(0, 1, 2))(x, dwk, pwk)
+        rs = jax.grad(loss_ref, argnums=(0, 1, 2))(x, dwk, pwk)
+        for g_, r_, name in zip(gs, rs, ("dx", "ddw", "dpw")):
+            np.testing.assert_allclose(
+                np.asarray(g_), np.asarray(r_), rtol=1e-4, atol=1e-4,
+                err_msg=name)
+
+    @pytest.mark.parametrize("fold", [False, True])
+    def test_model_stats_matches_plain(self, fold):
+        """XceptionBlock with fused_stats on vs off (both fused, train
+        mode, with and without the BN-apply fold): outputs, grads, and
+        batch-stat updates agree."""
+        from deepcam_tpu.models import layers
+        from deepcam_tpu.models.xception import XceptionBlock
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(1, 8, 12, 16), jnp.float32)
+        blk = XceptionBlock(out_ch=16, reps=3, stride=1, dtype=jnp.float32)
+
+        def run(stats_on):
+            prev = layers.fused_stats_active()
+            prev_fold = layers.bn_fold_active()
+            layers.set_sepconv_impl("fused")
+            layers.set_fused_stats(stats_on)
+            layers.set_bn_fold(fold)
+            try:
+                variables = blk.init(jax.random.PRNGKey(0), x, train=True)
+
+                def loss(params):
+                    y, upd = blk.apply(
+                        {"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"],
+                    )
+                    return jnp.sum(y * y), (y, upd)
+
+                (l, (y, upd)), grads = jax.value_and_grad(
+                    loss, has_aux=True)(variables["params"])
+            finally:
+                layers.set_fused_stats(prev)
+                layers.set_bn_fold(prev_fold)
+                layers.set_sepconv_impl("auto")
+            return l, y, upd, grads
+
+        l_s, y_s, u_s, g_s = run(True)
+        l_p, y_p, u_p, g_p = run(False)
+        np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_p),
+                                   rtol=1e-5, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_allclose(
+                np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-4),
+            (u_s, g_s), (u_p, g_p),
+        )

@@ -15,6 +15,7 @@ from deepcam_tpu.models.deeplab import DeepLabv3plus
 from deepcam_tpu.train.losses import class_weights
 from deepcam_tpu.train.optim import build_optimizer
 from deepcam_tpu.train.trainer import (
+    TrainState,
     create_train_state,
     make_eval_step,
     make_train_step,
@@ -129,3 +130,40 @@ def test_eval_matches_per_sample_reference_semantics(setup):
     np.testing.assert_allclose(float(loss_sum), total_loss, rtol=1e-4)
     np.testing.assert_allclose(float(iou_sum), total_iou, rtol=1e-4)
     assert float(count) == 8.0
+
+
+def test_block_loss_matches_fullres(setup, monkeypatch):
+    """DEEPCAM_BLOCK_LOSS on vs off: identical metrics (up to fp summation
+    order) and matching gradients — block space only reorders the pixels
+    the loss/IoU reduce over.  SGD(1.0) makes the one-step parameter delta
+    literally the (pmean'd) gradient, so the comparison is not distorted by
+    Adam's rsqrt normalization of near-zero gradients."""
+    import optax
+
+    model, _, fresh_state, mesh = setup
+    tx = optax.sgd(1.0)
+    w = list(class_weights())
+    x, y = _batch(8, key=7)
+
+    def run(flag):
+        monkeypatch.setenv("DEEPCAM_BLOCK_LOSS", flag)
+        step_fn = make_train_step(model, tx, w, mesh)
+        st = fresh_state()
+        st = TrainState(step=st.step, params=st.params,
+                        batch_stats=st.batch_stats,
+                        opt_state=tx.init(st.params))
+        st = jax.device_put(st, meshlib.replicated(mesh))
+        new_state, metrics = step_fn(st, x, y)
+        return new_state, metrics
+
+    s_b, m_b = run("1")
+    s_f, m_f = run("0")
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_f["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_b["iou"]), float(m_f["iou"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+        s_b.params, s_f.params,
+    )
