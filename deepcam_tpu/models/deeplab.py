@@ -144,6 +144,42 @@ class DeconvUpsampler(nn.Module):
             dtype=self.dtype, name="conv2",
         )(x)
 
+        # Block-space tail (train/block_logits only; opt-in
+        # DEEPCAM_TAIL_BLOCKS=1 pending TPU A/B — the first, reshape-based
+        # version measured 19.56 vs 22.89 before the grouped BN landed):
+        # deconv3 emits (a, b, C) half-res blocks via one dense
+        # 2x2/s1 conv, BN+ReLU run on a flat view of the blocks (identical
+        # per-channel statistics — same pixel multiset), and last_deconv is
+        # the composite block-consuming conv emitting (r, s, F) quarter-res
+        # x4 blocks (ops/deconv.py:deconv3x3s2_blocks2).  NO tensor at 2x or
+        # 4x resolution ever materializes — the r2 trace showed ~13 ms/step
+        # of batch-in-sublane layout reformats around the full-res tail.
+        if block_logits and os.environ.get("DEEPCAM_TAIL_BLOCKS", "0") == "1":
+            from ..ops.deconv import deconv3x3s2_blocks, deconv3x3s2_blocks2
+            from .layers import _KernelParam, torch_default_convT_kernel_init
+
+            dk3 = _KernelParam(
+                (3, 3, 256, 256),
+                torch_default_convT_kernel_init(), name="deconv3",
+            )()
+            # flat (N, H, W, (a, b, 256)) — never leaves the 1024-lane
+            # layout: the grouped BN folds stats across the 4 block phases
+            # without reshaping the tensor (a (..., 4C) → (..., 4W, C)
+            # reshape is a real lane shuffle on TPU, ~27 GB/step measured)
+            z = deconv3x3s2_blocks(x.astype(self.dtype),
+                                   dk3.astype(self.dtype))
+            n, h, w = z.shape[:3]
+            z = BatchNorm2d(dtype=self.dtype, name="deconv3_bn")(
+                z, train, relu=fr, group_blocks=4)
+            if not fr:
+                z = nn.relu(z)
+            lk = _KernelParam(
+                (3, 3, 256, self.n_classes),
+                torch_default_convT_kernel_init(), name="last_deconv",
+            )()
+            y = deconv3x3s2_blocks2(z, lk.astype(self.dtype))
+            return y.reshape(n, h, w, 16, self.n_classes)
+
         # Forward-schedule override for the widest deconv (see last_deconv
         # note below; DEEPCAM_DECONV3 A/Bs d2s/polyphase against dilated).
         x = ConvTranspose2d(

@@ -881,7 +881,8 @@ class BatchNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool, fold: bool = False,
-                 relu: bool = False, stats=None) -> Array:
+                 relu: bool = False, stats=None,
+                 group_blocks: int = 1) -> Array:
         """Normalize ``x`` (NHWC) over NHW.
 
         With ``fold=True`` the apply is NOT materialized: the per-channel
@@ -898,8 +899,17 @@ class BatchNorm2d(nn.Module):
         over ``x``.  Variance uses the one-pass E[x²]−E[x]² form (fp32);
         gradients still flow to ``x`` through the partials' producer (the
         kernel's custom VJP), with identical math to the two-pass form.
+
+        ``group_blocks=G`` treats the channel dim as (G, C) — G block
+        copies of the same C real channels (the decoder's block-space
+        (a, b, C) layout): statistics fold across the G groups, running
+        stats and scale/bias have C entries, and the apply coefficients are
+        tiled G× — all WITHOUT reshaping ``x`` out of its native G·C-lane
+        layout (a (..., G·C) → (..., G·W, C) reshape is a real lane
+        shuffle on TPU, measured ~27 GB/step of copies).
         """
-        features = x.shape[-1]
+        g = group_blocks
+        features = x.shape[-1] // g
         scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
         ra_mean = self.variable(
@@ -914,7 +924,28 @@ class BatchNorm2d(nn.Module):
         # reduce and never materializes an fp32 copy of the activation (a
         # shared `x32 = x.astype(f32)` materialized ~2.8 GB of copies per
         # step at full resolution — see PERF.md).
-        if train and stats is not None:
+        if train and g > 1:
+            assert stats is None and not fold
+            # grouped one-pass stats in the native G·C-lane layout: the
+            # full-tensor reductions produce (G·C,) fp32 vectors; only the
+            # TINY vectors reshape across the group dim.
+            n = x.shape[0] * x.shape[1] * x.shape[2] * g
+            s1 = jnp.sum(x, axis=(0, 1, 2), dtype=jnp.float32)
+            s2 = jnp.sum(
+                jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
+            mean = s1.reshape(g, features).sum(0) / n
+            ex2 = s2.reshape(g, features).sum(0) / n
+            if self.axis_name is not None:
+                mean = lax.pmean(mean, self.axis_name)
+                ex2 = lax.pmean(ex2, self.axis_name)
+                n = n * lax.psum(1, self.axis_name)
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        elif train and stats is not None:
             s1, s2 = stats
             red = tuple(range(s1.ndim - 1))
             n = x.shape[0] * x.shape[1] * x.shape[2]
@@ -963,6 +994,9 @@ class BatchNorm2d(nn.Module):
         b = (bias.astype(jnp.float32) - mean * inv).astype(self.dtype)
         if fold:
             return a, b
+        if g > 1:
+            a = jnp.tile(a, g)
+            b = jnp.tile(b, g)
         y = x.astype(self.dtype) * a + b
         if relu:
             # fused BN-apply+ReLU: identical math to nn.relu(bn(x)) but ONE

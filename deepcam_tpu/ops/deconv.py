@@ -318,12 +318,83 @@ def _blk_bwd(res, gb):
 deconv3x3s2_blocks.defvjp(_blk_fwd, _blk_bwd)
 
 
-def space_to_blocks(y: jax.Array) -> jax.Array:
-    """(N, 2H, 2W, ...) → (N, H, W, 4, ...) with block index = (a, b) —
-    the label/logit reshuffle matching ``deconv3x3s2_blocks``'s channel
-    order.  Trailing dims (e.g. a class axis) are preserved."""
-    n, h2, w2 = y.shape[:3]
+def space_to_blocks(y: jax.Array, factor: int = 2) -> jax.Array:
+    """(N, f·H, f·W, ...) → (N, H, W, f², ...) with block index =
+    (row phase, col phase) — the label/logit reshuffle matching
+    ``deconv3x3s2_blocks`` (factor 2) / ``deconv3x3s2_blocks2`` (factor 4)
+    channel order.  Trailing dims (e.g. a class axis) are preserved."""
+    f = factor
+    n, hf, wf = y.shape[:3]
     rest = y.shape[3:]
-    y = y.reshape(n, h2 // 2, 2, w2 // 2, 2, *rest)
-    y = jnp.moveaxis(y, 2, 3)  # (N, H, W, a, b, ...)
-    return y.reshape(n, h2 // 2, w2 // 2, 4, *rest)
+    y = y.reshape(n, hf // f, f, wf // f, f, *rest)
+    y = jnp.moveaxis(y, 2, 3)  # (N, H, W, r, s, ...)
+    return y.reshape(n, hf // f, wf // f, f * f, *rest)
+
+
+# ---------------------------------------------------------------------------
+# second-stage block-space deconv (consume blocks, emit x4 blocks)
+# ---------------------------------------------------------------------------
+
+def _blocks2_kernel(kernel: jax.Array) -> jax.Array:
+    """(3, 3, C, F) → (2, 2, 4C, 16F): the composite kernel that applies the
+    exact-x2 transposed conv to an input ALREADY in (a, b, C) block space
+    (the previous x2 stage's output blocks at half resolution), emitting the
+    x4 output as (r, s, F) quarter-resolution blocks, r = full-res row % 4.
+
+    Per-axis derivation: the block form reads 2x-res pixel I+dh (dh ∈ {0,1},
+    ``_block_conv_fwd``); with I = 2i + A and the input stored as blocks
+    (tile i', phase a'), I + dh = 2(i + u) + a' where u = (A + dh) // 2 —
+    so output 4-phase r = 2A + α needs input tap (u, a') with
+    dh = 2u + a' - A ∈ {0, 1} and the usual d2s slot (dh, α) ∈ _D2S_SEL;
+    everything else is a zero slot.  One dense 2x2/s1 conv with 4C input
+    lanes — MXU-dense, no lhs_dilation, ~4x MAC overdo on a tiny-F layer
+    (negligible) in exchange for never materializing full resolution."""
+    c, f = kernel.shape[2], kernel.shape[3]
+    kf = jnp.flip(kernel, axis=(0, 1))
+    zero = jnp.zeros_like(kf[0, 0])
+
+    def slot(u, ap, r):
+        a_hi, alpha = r // 2, r % 2
+        dh = 2 * u + ap - a_hi
+        if dh in (0, 1) and (dh, alpha) in _D2S_SEL:
+            return _D2S_SEL[(dh, alpha)]
+        return None
+
+    # dims: (u, v, a', b', C, r, s, F)
+    k2 = jnp.stack([
+        jnp.stack([
+            jnp.stack([
+                jnp.stack([
+                    jnp.stack([
+                        jnp.stack([
+                            kf[slot(u, ap, r), slot(v, bp, s)]
+                            if slot(u, ap, r) is not None
+                            and slot(v, bp, s) is not None else zero
+                            for s in range(4)
+                        ], axis=1)  # (C, s, F)
+                        for r in range(4)
+                    ], axis=1)  # (C, r, s, F)
+                    for bp in range(2)
+                ])
+                for ap in range(2)
+            ])
+            for v in range(2)
+        ])
+        for u in range(2)
+    ])  # (u, v, a', b', C, r, s, F)
+    return k2.reshape(2, 2, 4 * c, 16 * f)
+
+
+def deconv3x3s2_blocks2(z: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Apply the k3/s2/p1/op1 transposed conv to a BLOCK-SPACE input
+    ``z`` (N, H, W, (a, b, C)) — the (half-res tile, x2 phase) layout of
+    ``deconv3x3s2_blocks``'s output — returning (N, H, W, (r, s, F)) with
+    r/s the full-res row/col phases mod 4.  Equals
+    ``space_to_blocks(deconv3x3s2(blocks⁻¹(z), kernel), 4)`` flattened,
+    with no full-res intermediate.  Plain s1 conv: XLA autodiff is clean
+    (dgrad = flipped-kernel s1 conv, wgrad = standard)."""
+    k2 = _blocks2_kernel(kernel.astype(z.dtype))
+    return lax.conv_general_dilated(
+        z, k2, (1, 1), ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )

@@ -169,6 +169,52 @@ def _halo_spec(th, d, w, c):
     )
 
 
+def _halo_spec_nopad(th, d, h, w, c):
+    """Overlapping row window over the UNPADDED operand (N, H, W, C): the
+    ideal start hi*th − d is clamped into bounds, so the first/last tiles'
+    windows are shifted by ±d — ``_fix_window`` undoes the shift in-kernel
+    (with zero fill for the out-of-range halo rows).  Removes the host-side
+    H-pad entirely: the pad materialized a full copy of every operand
+    because the consuming custom-call can't fuse it (~10 ms/step of ``pad``
+    ops in the r2 batch-4 trace)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(th + 2 * d), pl.Element(w),
+         pl.Element(c)),
+        lambda ni, hi: (ni, jnp.clip(hi * th - d, 0, h - th - 2 * d), 0, 0),
+    )
+
+
+def _fix_window(ht, hi, nh, d):
+    """Undo the clamped-window shift: for the first tile the window starts
+    d rows late (L[r] = W[r−d], top halo zero), for the last tile d rows
+    early (L[r] = W[r+d], bottom halo zero); middle tiles are exact.  Two
+    whole-window selects on VMEM-resident data — far cheaper than the HBM
+    pad round-trip they replace."""
+    if d == 0 or nh == 1:
+        return ht
+    z = jnp.zeros_like(ht[:d])
+    down = jnp.concatenate([z, ht[:-d]], axis=0)
+    up = jnp.concatenate([ht[d:], z], axis=0)
+    return jnp.where(hi == 0, down, jnp.where(hi == nh - 1, up, ht))
+
+
+def _use_nopad() -> bool:
+    """Unpadded operands with clamped windows — opt-in
+    (DEEPCAM_FUSED_NOPAD=1) until the TPU A/B lands; CPU-interpret parity
+    is covered by tests/test_fused_sepconv.py::TestNopadWindows."""
+    import os
+
+    return os.environ.get("DEEPCAM_FUSED_NOPAD", "0") == "1"
+
+
+def _nopad_ok(h, w, c, f, d) -> bool:
+    """Clamped windows need the window to fit the unpadded extent."""
+    if _use_wpad() or not _use_nopad():
+        return False
+    th = _pick_row_tile(h, w, c, f, d)
+    return h - th - 2 * d >= 0
+
+
 def _use_wpad() -> bool:
     """W-halo in the operand (pad W like H): every in-kernel tap becomes a
     pure 2D slice instead of a zero-block-concat W shift.  Measured r2 on
@@ -191,7 +237,8 @@ def _pad_h(x, d):
 # ---------------------------------------------------------------------------
 
 def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
-                interpret: bool = False, ab=None, emit_stats: bool = False):
+                interpret: bool = False, ab=None, emit_stats: bool = False,
+                padded: bool = True):
     """xp is the H-padded input (N, H+2d, W, C).  ``ab`` (optional) is a
     pair of (1, C) per-channel scale/offset applied in-kernel BEFORE the
     relu — the folded BN-apply of the preceding BatchNorm.
@@ -205,7 +252,7 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     n, hp, w_op, c = xp.shape
     f = pwk.shape[-1]
     d = dilation
-    h = hp - 2 * d
+    h = hp - 2 * d if padded else hp
     wpad = _use_wpad()
     w = w_op - 2 * d if wpad else w_op
     th = _pick_row_tile(h, w, c, f, d)
@@ -221,6 +268,8 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
             outs = refs[3:]
         out_ref = outs[0]
         ht = x_ref[0]
+        if not padded:
+            ht = _fix_window(ht, pl.program_id(1), nh, d)
         if affine:
             # bf16 FMA — the exact expression BatchNorm2d.apply computes
             ht = ht * a_ref[0] + b_ref[0]
@@ -247,7 +296,9 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
             )
 
     vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
-    in_specs = [_halo_spec(th, d, w_op, c)]
+    x_spec = (_halo_spec(th, d, w_op, c) if padded
+              else _halo_spec_nopad(th, d, h, w_op, c))
+    in_specs = [x_spec]
     operands = [xp]
     if affine:
         in_specs += [vec_spec, vec_spec]
@@ -284,7 +335,7 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
-                interpret: bool = False, ab=None):
+                interpret: bool = False, ab=None, padded: bool = True):
     """xp, gp are H-padded (N, H+2d, W, C/F).  Returns (dx (N,H,W,C) in
     x.dtype, d_dw (3,3,C) fp32, d_pw (C,F) fp32) — plus (da, db) (1, C)
     fp32 when ``ab`` is given (folded BN-apply: u = x*a + b feeds the
@@ -294,7 +345,7 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     n, hp, w_op, c = xp.shape
     f = pwk_t.shape[0]
     d = dilation
-    h = hp - 2 * d
+    h = hp - 2 * d if padded else hp
     wpad = _use_wpad()
     w = w_op - 2 * d if wpad else w_op
     th = _pick_row_tile(h, w, c, f, d)
@@ -312,6 +363,9 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         hi = pl.program_id(1)
         xt = x_ref[0]
         gt = g_ref[0]
+        if not padded:
+            xt = _fix_window(xt, hi, nh, d)
+            gt = _fix_window(gt, hi, nh, d)
 
         @pl.when(jnp.logical_and(ni == 0, hi == 0))
         def _():
@@ -375,7 +429,11 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         )
 
     vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
-    in_specs = [_halo_spec(th, d, w_op, c), _halo_spec(th, d, w_op, f)]
+    if padded:
+        in_specs = [_halo_spec(th, d, w_op, c), _halo_spec(th, d, w_op, f)]
+    else:
+        in_specs = [_halo_spec_nopad(th, d, h, w_op, c),
+                    _halo_spec_nopad(th, d, h, w_op, f)]
     operands = [xp, gp]
     if affine:
         in_specs += [vec_spec, vec_spec]
@@ -416,6 +474,17 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     )(*operands)
 
 
+
+def _prep_in(x, f, d):
+    """Forward/backward operand prep: (operand, padded flag) — unpadded
+    with clamped windows when eligible (see ``_nopad_ok``), else the
+    H-padded form."""
+    n, h, w, c = x.shape
+    if _nopad_ok(h, w, c, f, d):
+        return x, False
+    return _pad_h(x, d), True
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
@@ -431,24 +500,31 @@ def fused_sepconv(x, dwk, pwk, pre_relu: bool = True, dilation: int = 1,
     lax conv (reference semantics: ``SeparableConv2d_same``,
     deeplab_xception.py:54-66, preceded by the rep ReLU at :79).
     """
-    return _fwd_pallas(_pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu,
-                       dilation=dilation, interpret=interpret)
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
+    return _fwd_pallas(op, dwk, pwk, pre_relu=pre_relu,
+                       dilation=dilation, interpret=interpret,
+                       padded=padded)
 
 
 def _fs_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
-    xp = _pad_h(x, dilation)
+    # save the kernel operand as the residual: the backward consumes it
+    # directly (and in padded mode XLA dedups it with the forward's pad)
+    xp, padded = _prep_in(x, pwk.shape[-1], dilation)
     y = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
-                    interpret=interpret)
-    # save the PADDED activation: the backward consumes it directly (no
-    # re-pad) and XLA dedups it with the forward's pad
+                    interpret=interpret, padded=padded)
     return y, (xp, dwk, pwk)
 
 
 def _fs_bwd(pre_relu, dilation, interpret, res, g):
     xp, dwk, pwk = res
+    padded = xp.shape[1] != g.shape[1]
+    gop = g.astype(xp.dtype)
+    if padded:
+        gop = _pad_h(gop, dilation)
     dx, ddw, dpw = _bwd_pallas(
-        xp, _pad_h(g.astype(xp.dtype), dilation), dwk, pwk.T,
+        xp, gop, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+        padded=padded,
     )
     return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
 
@@ -468,26 +544,32 @@ def fused_sepconv_affine(x, a, b, dwk, pwk, pre_relu: bool = True,
     (reference semantics: the BN at the end of one rep unit feeding the
     ReLU that opens the next, ``deeplab_xception.py:79-108``).
     """
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
     return _fwd_pallas(
-        _pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+        op, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
         interpret=interpret, ab=(a.reshape(1, -1), b.reshape(1, -1)),
+        padded=padded,
     )
 
 
 def _fsa_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
-    xp = _pad_h(x, dilation)
+    xp, padded = _prep_in(x, pwk.shape[-1], dilation)
     y = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
                     interpret=interpret,
-                    ab=(a.reshape(1, -1), b.reshape(1, -1)))
+                    ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded)
     return y, (xp, a, b, dwk, pwk)
 
 
 def _fsa_bwd(pre_relu, dilation, interpret, res, g):
     xp, a, b, dwk, pwk = res
+    padded = xp.shape[1] != g.shape[1]
+    gop = g.astype(xp.dtype)
+    if padded:
+        gop = _pad_h(gop, dilation)
     dx, ddw, dpw, da, db = _bwd_pallas(
-        xp, _pad_h(g.astype(xp.dtype), dilation), dwk, pwk.T,
+        xp, gop, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
-        ab=(a.reshape(1, -1), b.reshape(1, -1)),
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded,
     )
     return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
             ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
@@ -533,17 +615,18 @@ def fused_sepconv_stats(x, dwk, pwk, pre_relu: bool = True,
     Returns ``(y, s1, s2)`` with y as ``fused_sepconv`` and s1/s2 of shape
     (N, nh, F) in fp32; ``s1.sum((0,1))`` == ``y.astype(f32).sum((0,1,2))``
     exactly (same fp32 accumulation order per tile)."""
-    y, s = _fwd_pallas(_pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu,
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
+    y, s = _fwd_pallas(op, dwk, pwk, pre_relu=pre_relu,
                        dilation=dilation, interpret=interpret,
-                       emit_stats=True)
+                       emit_stats=True, padded=padded)
     return y, s[:, :, 0], s[:, :, 1]
 
 
 def _fss_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
-    xp = _pad_h(x, dilation)
+    xp, padded = _prep_in(x, pwk.shape[-1], dilation)
     y, s = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
                        dilation=dilation, interpret=interpret,
-                       emit_stats=True)
+                       emit_stats=True, padded=padded)
     return (y, s[:, :, 0], s[:, :, 1]), (xp, dwk, pwk, y)
 
 
@@ -553,9 +636,13 @@ def _fss_bwd(pre_relu, dilation, interpret, res, g):
     th = _pick_row_tile(y.shape[1], y.shape[2], xp.shape[-1],
                         pwk.shape[-1], dilation)
     gadj = _stats_adjust(gy, gs1, gs2, y, th)
+    padded = xp.shape[1] != y.shape[1]
+    if padded:
+        gadj = _pad_h(gadj, dilation)
     dx, ddw, dpw = _bwd_pallas(
-        xp, _pad_h(gadj, dilation), dwk, pwk.T,
+        xp, gadj, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+        padded=padded,
     )
     return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
 
@@ -567,20 +654,21 @@ fused_sepconv_stats.defvjp(_fss_fwd, _fss_bwd)
 def fused_sepconv_affine_stats(x, a, b, dwk, pwk, pre_relu: bool = True,
                                dilation: int = 1, interpret: bool = False):
     """``fused_sepconv_affine`` that also returns (Σy, Σy²) tile partials."""
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
     y, s = _fwd_pallas(
-        _pad_h(x, dilation), dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+        op, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
         interpret=interpret, ab=(a.reshape(1, -1), b.reshape(1, -1)),
-        emit_stats=True,
+        emit_stats=True, padded=padded,
     )
     return y, s[:, :, 0], s[:, :, 1]
 
 
 def _fsas_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
-    xp = _pad_h(x, dilation)
+    xp, padded = _prep_in(x, pwk.shape[-1], dilation)
     y, s = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
                        dilation=dilation, interpret=interpret,
                        ab=(a.reshape(1, -1), b.reshape(1, -1)),
-                       emit_stats=True)
+                       emit_stats=True, padded=padded)
     return (y, s[:, :, 0], s[:, :, 1]), (xp, a, b, dwk, pwk, y)
 
 
@@ -590,10 +678,13 @@ def _fsas_bwd(pre_relu, dilation, interpret, res, g):
     th = _pick_row_tile(y.shape[1], y.shape[2], xp.shape[-1],
                         pwk.shape[-1], dilation)
     gadj = _stats_adjust(gy, gs1, gs2, y, th)
+    padded = xp.shape[1] != y.shape[1]
+    if padded:
+        gadj = _pad_h(gadj, dilation)
     dx, ddw, dpw, da, db = _bwd_pallas(
-        xp, _pad_h(gadj, dilation), dwk, pwk.T,
+        xp, gadj, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
-        ab=(a.reshape(1, -1), b.reshape(1, -1)),
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded,
     )
     return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
             ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))

@@ -103,16 +103,25 @@ def make_train_step(
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
 
+    def _block_labels(logits, y):
+        """Match the labels to the logits' block layout: logits
+        (N, H/f, W/f, f², C) pair with ``space_to_blocks(y, f)`` — the
+        model may emit factor-2 (one block stage) or factor-4 (block-space
+        decoder tail) layouts."""
+        from ..ops.deconv import space_to_blocks
+
+        if logits.ndim == y.ndim + 1:
+            return y
+        factor = {4: 2, 16: 4}[logits.shape[3]]
+        return space_to_blocks(y, factor)
+
     def loss_fn(params, batch_stats, x, y):
         logits, updates = apply_fn(params, batch_stats, x)
-        loss = weighted_ce_loss(logits, y, class_weights, fpw_1, fpw_2)
+        loss = weighted_ce_loss(
+            logits, _block_labels(logits, y), class_weights, fpw_1, fpw_2)
         return loss, (logits, updates["batch_stats"])
 
     def local_step(state: TrainState, x, y):
-        if block_loss:
-            from ..ops.deconv import space_to_blocks
-
-            y = space_to_blocks(y)
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, x, y)
@@ -127,7 +136,8 @@ def make_train_step(
         new_bs = lax.pmean(new_bs, "data")
 
         preds = argmax_channels(logits)
-        iou = compute_score(preds, y, num_classes=logits.shape[-1])
+        iou = compute_score(
+            preds, _block_labels(logits, y), num_classes=logits.shape[-1])
 
         metrics = {
             "loss": lax.pmean(loss, "data"),

@@ -167,3 +167,49 @@ class TestBlocksVariant:
             np.asarray(jnp.argmax(lb, -1).reshape(-1)),
             np.asarray(space_to_blocks(jnp.argmax(logits, -1)).reshape(-1)))
         assert tb.shape == lb.shape[:-1]
+
+
+class TestBlocks2Variant:
+    """``deconv3x3s2_blocks2``: consuming block-space input and emitting x4
+    blocks equals blocks⁻¹ → full-res deconv → factor-4 space_to_blocks."""
+
+    @pytest.mark.parametrize("n,h,w,c,f", [
+        (2, 6, 5, 8, 3),
+        (1, 4, 7, 16, 5),
+    ])
+    def test_forward_and_grads(self, n, h, w, c, f):
+        from deepcam_tpu.ops.deconv import (
+            deconv3x3s2_blocks,
+            deconv3x3s2_blocks2,
+            space_to_blocks,
+        )
+
+        rng = np.random.RandomState(21)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        k1 = jnp.asarray(0.3 * rng.randn(3, 3, c, c), jnp.float32)
+        k2 = jnp.asarray(0.3 * rng.randn(3, 3, c, f), jnp.float32)
+        ct = jnp.asarray(rng.randn(n, h, w, 16 * f), jnp.float32)
+
+        def composite(x, k1, k2):
+            # stage 1 in block space, relu between, stage 2 in block space
+            z = jnp.maximum(deconv3x3s2_blocks(x, k1), 0)
+            return deconv3x3s2_blocks2(z, k2)
+
+        def reference(x, k1, k2):
+            mid = jnp.maximum(_ref_fwd(x, k1), 0)   # full-res 2x
+            y = _ref_fwd(mid, k2)                   # full-res 4x
+            return space_to_blocks(y, 4).reshape(n, h, w, 16 * f)
+
+        got = composite(x, k1, k2)
+        want = reference(x, k1, k2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+        g = jax.grad(lambda *a: jnp.sum(composite(*a) * ct),
+                     argnums=(0, 1, 2))(x, k1, k2)
+        r = jax.grad(lambda *a: jnp.sum(reference(*a) * ct),
+                     argnums=(0, 1, 2))(x, k1, k2)
+        for g_, r_, name in zip(g, r, ("dx", "dk1", "dk2")):
+            np.testing.assert_allclose(
+                np.asarray(g_), np.asarray(r_), rtol=1e-4, atol=1e-4,
+                err_msg=name)

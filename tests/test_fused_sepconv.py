@@ -318,3 +318,91 @@ class TestStatsVariants:
                 np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-4),
             (u_s, g_s), (u_p, g_p),
         )
+
+
+# ---------------------------------------------------------------------------
+# unpadded (clamped-window) operands
+# ---------------------------------------------------------------------------
+
+class TestNopadWindows:
+    """DEEPCAM_FUSED_NOPAD: unpadded operands with clamped Element windows
+    and in-kernel edge fix-up must match the padded path exactly.  Small
+    row tiles are forced (DEEPCAM_FUSED_TH) so the grid has real first/
+    middle/last tiles."""
+
+    @pytest.mark.parametrize("n,h,w,c,f,pre_relu,dilation", [
+        (2, 16, 12, 16, 24, True, 1),   # 4 tiles
+        (1, 16, 12, 16, 16, True, 2),   # dilation-2 halo
+        (2, 12, 10, 24, 16, False, 1),  # 3 tiles, no relu
+    ])
+    def test_matches_padded(self, n, h, w, c, f, pre_relu, dilation,
+                            monkeypatch):
+        monkeypatch.setenv("DEEPCAM_FUSED_TH", "4")
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+        ct = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+
+        def run(flag):
+            monkeypatch.setenv("DEEPCAM_FUSED_NOPAD", flag)
+
+            def loss(x, dwk, pwk):
+                return jnp.sum(
+                    fused_sepconv(x, dwk, pwk, pre_relu, dilation, True)
+                    * ct)
+
+            y = fused_sepconv(x, dwk, pwk, pre_relu, dilation, True)
+            g = jax.grad(loss, argnums=(0, 1, 2))(x, dwk, pwk)
+            return y, g
+
+        y_n, g_n = run("1")
+        y_p, g_p = run("0")
+        # the inserted edge-select ops re-cluster XLA fusions → fp32
+        # reassociation at the 1e-7 level; values are otherwise identical
+        np.testing.assert_allclose(np.asarray(y_n), np.asarray(y_p),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b, name in zip(g_n, g_p, ("dx", "ddw", "dpw")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=name)
+
+    def test_affine_stats_matches_padded(self, monkeypatch):
+        from deepcam_tpu.ops.pallas.fused_sepconv import (
+            fused_sepconv_affine_stats,
+        )
+
+        monkeypatch.setenv("DEEPCAM_FUSED_TH", "4")
+        n, h, w, c, f = 2, 16, 12, 16, 16
+        rng = np.random.RandomState(10)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        a = jnp.asarray(1.0 + 0.3 * rng.randn(c), jnp.float32)
+        b = jnp.asarray(0.3 * rng.randn(c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+        ct = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+
+        def run(flag):
+            monkeypatch.setenv("DEEPCAM_FUSED_NOPAD", flag)
+
+            def loss(x, a, b, dwk, pwk):
+                y, s1, s2 = fused_sepconv_affine_stats(
+                    x, a, b, dwk, pwk, True, 1, True)
+                mean = jnp.sum(s1, axis=(0, 1)) / (n * h * w)
+                var = jnp.sum(s2, axis=(0, 1)) / (n * h * w) - mean * mean
+                return jnp.sum((y - mean) * jax.lax.rsqrt(var + 1e-5) * ct)
+
+            y, s1, s2 = fused_sepconv_affine_stats(
+                x, a, b, dwk, pwk, True, 1, True)
+            g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk, pwk)
+            return (y, s1, s2), g
+
+        o_n, g_n = run("1")
+        o_p, g_p = run("0")
+        for a_, b_ in zip(o_n, o_p):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=1e-5, atol=1e-6)
+        for a_, b_, name in zip(g_n, g_p, ("dx", "da", "db", "ddw", "dpw")):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5,
+                err_msg=name)

@@ -186,3 +186,37 @@ def test_resize_align_corners_matches_torch():
     y = np.asarray(resize_bilinear_align_corners(jnp.asarray(x1), (4, 6)))
     y_t = F.interpolate(_nchw(x1), size=(4, 6), mode="bilinear", align_corners=True)
     np.testing.assert_allclose(y, np.transpose(y_t.numpy(), (0, 2, 3, 1)), rtol=1e-5, atol=1e-5)
+
+
+def test_batchnorm_group_blocks():
+    """group_blocks=G: identical statistics/apply to running the BN on the
+    un-blocked (..., C) layout — G block copies fold into one channel set."""
+    import numpy as np
+
+    from deepcam_tpu.models.layers import BatchNorm2d
+
+    rng = np.random.RandomState(41)
+    g, c = 4, 16
+    xg = jnp.asarray(rng.randn(2, 6, 5, g * c), jnp.float32)  # (a,b,C) lanes
+    # un-blocked equivalent: stack the G groups along a spatial dim
+    xf = jnp.concatenate(
+        [xg[..., i * c:(i + 1) * c] for i in range(g)], axis=2)
+
+    bn = BatchNorm2d(dtype=jnp.float32)
+    v = bn.init(jax.random.PRNGKey(0), xf, train=True)
+
+    yg, upd_g = bn.apply(v, xg, train=True, group_blocks=g,
+                         mutable=["batch_stats"])
+    yf, upd_f = bn.apply(v, xf, train=True, mutable=["batch_stats"])
+
+    # same normalized values (up to the one-pass vs two-pass var fp noise)
+    yf_blocks = jnp.concatenate(
+        [yf[:, :, i * 5:(i + 1) * 5, :] for i in range(g)], axis=-1)
+    np.testing.assert_allclose(np.asarray(yg), np.asarray(yf_blocks),
+                               rtol=1e-4, atol=1e-5)
+    # same running-stat updates
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        upd_g["batch_stats"], upd_f["batch_stats"],
+    )

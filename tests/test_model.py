@@ -99,3 +99,42 @@ def test_bf16_compute_fp32_params():
         assert leaf.dtype == jnp.float32
     y = model.apply(variables, x, train=False)
     assert y.dtype == jnp.float32  # logits cast back for the loss
+
+
+def test_block_logits_tail_matches_fullres(monkeypatch):
+    """DeconvUpsampler's block-space tail (DEEPCAM_TAIL_BLOCKS) emits the
+    same logits multiset as the full-res path: factor-4 blocks of the
+    full-resolution logits, bit-comparable after un-blocking."""
+    import numpy as np
+
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+    from deepcam_tpu.ops.deconv import space_to_blocks
+
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.randn(1, 32, 48, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def run(tail):
+        monkeypatch.setenv("DEEPCAM_TAIL_BLOCKS", tail)
+        out, _ = model.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            block_logits=True)
+        return out
+
+    y_tail = run("1")   # (N, 8, 12, 16, 3)
+    y_flat = run("0")   # (N, 16, 24, 4, 3)
+    assert y_tail.shape == (1, 8, 12, 16, 3)
+    assert y_flat.shape == (1, 16, 24, 4, 3)
+
+    # un-block both to full resolution pixel order and compare
+    def unblock(yb, factor):
+        n, h, w, k, c = yb.shape
+        f = factor
+        y = yb.reshape(n, h, w, f, f, c)
+        y = jnp.moveaxis(y, 3, 2)  # (n, h, f, w, f, c)
+        return y.reshape(n, h * f, w * f, c)
+
+    np.testing.assert_allclose(
+        np.asarray(unblock(y_tail, 4)), np.asarray(unblock(y_flat, 2)),
+        rtol=1e-4, atol=1e-4)
