@@ -1,0 +1,47 @@
+"""Sequential bench A/B queue for the round-2 gated experiments.
+
+Runs bench.py in-process-equivalent configs one after another (each a
+fresh subprocess so env gating is clean) and prints one line per config.
+Run in background with a generous timeout; each config's first compile
+can take minutes on the relay.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+CONFIGS = [
+    ("defaults", {}),
+    ("nopad", {"DEEPCAM_FUSED_NOPAD": "1"}),
+    ("tail_blocks", {"DEEPCAM_TAIL_BLOCKS": "1"}),
+    ("nopad+tail", {"DEEPCAM_FUSED_NOPAD": "1", "DEEPCAM_TAIL_BLOCKS": "1"}),
+]
+
+
+def main():
+    results = {}
+    for name, env in CONFIGS:
+        e = dict(os.environ, **env)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-u", "bench.py"], env=e,
+                capture_output=True, text=True, timeout=3000,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith('{"metric"')]
+            val = json.loads(line[-1])["value"] if line else None
+            results[name] = val
+            print(f"AB {name}: {val}", flush=True)
+            if val is None:
+                print(out.stdout[-2000:], file=sys.stderr)
+                print(out.stderr[-2000:], file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            results[name] = "timeout"
+            print(f"AB {name}: TIMEOUT", flush=True)
+    print("AB_SUMMARY", json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

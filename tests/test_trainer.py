@@ -132,12 +132,14 @@ def test_eval_matches_per_sample_reference_semantics(setup):
     assert float(count) == 8.0
 
 
-def test_block_loss_matches_fullres(setup, monkeypatch):
-    """DEEPCAM_BLOCK_LOSS on vs off: identical metrics (up to fp summation
-    order) and matching gradients — block space only reorders the pixels
-    the loss/IoU reduce over.  SGD(1.0) makes the one-step parameter delta
-    literally the (pmean'd) gradient, so the comparison is not distorted by
-    Adam's rsqrt normalization of near-zero gradients."""
+@pytest.mark.parametrize("tail", ["0", "1"])
+def test_block_loss_matches_fullres(setup, monkeypatch, tail):
+    """DEEPCAM_BLOCK_LOSS on vs off (and with the factor-4 block-space
+    decoder tail): identical metrics (up to fp summation order) and
+    matching gradients — block space only reorders the pixels the loss/IoU
+    reduce over.  SGD(1.0) makes the one-step parameter delta literally
+    the (pmean'd) gradient, so the comparison is not distorted by Adam's
+    rsqrt normalization of near-zero gradients."""
     import optax
 
     model, _, fresh_state, mesh = setup
@@ -147,6 +149,8 @@ def test_block_loss_matches_fullres(setup, monkeypatch):
 
     def run(flag):
         monkeypatch.setenv("DEEPCAM_BLOCK_LOSS", flag)
+        monkeypatch.setenv("DEEPCAM_TAIL_BLOCKS", tail if flag == "1"
+                           else "0")
         step_fn = make_train_step(model, tx, w, mesh)
         st = fresh_state()
         st = TrainState(step=st.step, params=st.params,
