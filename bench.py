@@ -56,7 +56,21 @@ def main():
     from deepcam_tpu.train.optim import build_optimizer
     from deepcam_tpu.train.trainer import create_train_state, make_train_step
 
-    n_chips = jax.device_count()
+    # The axon relay occasionally drops and fails backend init with
+    # UNAVAILABLE for a while (see memory note axon-relay-wedge); retry a
+    # few times before giving up so a transient outage doesn't void the
+    # round's benchmark.  Bounded: a dead relay fails fast, so this adds
+    # ~12 min worst case, not hours.
+    for attempt in range(8):
+        try:
+            n_chips = jax.device_count()
+            break
+        except RuntimeError as e:
+            if attempt == 7:
+                raise
+            print(f"backend init failed ({e}); retry {attempt + 1}/8",
+                  file=sys.stderr, flush=True)
+            time.sleep(90)
     mesh = meshlib.make_mesh(spatial=1)
 
     model = DeepLabv3plus(n_classes=3, dtype=jnp.bfloat16)
