@@ -287,11 +287,20 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
         yr = y.astype(out_ref.dtype)
         out_ref[0] = yr.reshape(th, w, f)
         if emit_stats:
-            y32 = yr.astype(jnp.float32)
-            # rows: [Σy, Σy²] — one (2, F) tile per grid step (Mosaic needs
+            # rows: [Σy, Σy²] over the WHOLE tensor — one (2, F) fp32
+            # accumulator with a constant index map, accumulated across the
+            # sequential grid like d_dw/d_pw in the backward (Mosaic needs
             # the block's sublane dim to equal the array dim, hence the
-            # stacked pair instead of two (1, F) outputs)
-            outs[1][0, 0] = jnp.stack(
+            # stacked pair instead of two (1, F) outputs).  Per-channel
+            # stats also make the VJP's stats cotangent per-channel — the
+            # exact shape the in-kernel backward adjustment needs.
+            @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                                     pl.program_id(1) == 0))
+            def _():
+                outs[1][...] = jnp.zeros_like(outs[1])
+
+            y32 = yr.astype(jnp.float32)
+            outs[1][...] += jnp.stack(
                 [jnp.sum(y32, axis=0), jnp.sum(y32 * y32, axis=0)]
             )
 
@@ -312,8 +321,8 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     out_specs = pl.BlockSpec((1, th, w, f), lambda ni, hi: (ni, hi, 0, 0))
     out_shape = jax.ShapeDtypeStruct((n, h, w, f), xp.dtype)
     if emit_stats:
-        stat_spec = pl.BlockSpec((1, 1, 2, f), lambda ni, hi: (ni, hi, 0, 0))
-        stat_shape = jax.ShapeDtypeStruct((n, nh, 2, f), jnp.float32)
+        stat_spec = pl.BlockSpec((2, f), lambda ni, hi: (0, 0))
+        stat_shape = jax.ShapeDtypeStruct((2, f), jnp.float32)
         out_specs = [out_specs, stat_spec]
         out_shape = [out_shape, stat_shape]
 
@@ -335,13 +344,21 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
-                interpret: bool = False, ab=None, padded: bool = True):
+                interpret: bool = False, ab=None, padded: bool = True,
+                stats=None):
     """xp, gp are H-padded (N, H+2d, W, C/F).  Returns (dx (N,H,W,C) in
     x.dtype, d_dw (3,3,C) fp32, d_pw (C,F) fp32) — plus (da, db) (1, C)
     fp32 when ``ab`` is given (folded BN-apply: u = x*a + b feeds the
     relu; dx then carries du*a and da/db accumulate Σdu·x / Σdu across the
     grid exactly like d_dw/d_pw).  ``pwk_t`` is the transposed pointwise
-    kernel (F, C)."""
+    kernel (F, C).
+
+    ``stats=(gs, y)`` (requires ``padded=False``) folds the per-channel
+    stats cotangent into gt IN-KERNEL: gs is the stacked (2, F) fp32
+    [gs1, gs2] pair and y the (unpadded) forward output — each tile reads
+    its own y window and computes ``gt += gs1 + 2·y·gs2`` (rounded to
+    gt's dtype, matching the XLA-side ``_stats_adjust``), replacing the
+    separate three-pass XLA adjust (~5 ms/step across the model, r2)."""
     n, hp, w_op, c = xp.shape
     f = pwk_t.shape[0]
     d = dilation
@@ -352,13 +369,24 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     nh = h // th
     thh = th + 2 * d
     affine = ab is not None
+    with_stats = stats is not None
+    assert not (with_stats and padded)
 
     def kernel(*refs):
+        idx = 2
+        x_ref, g_ref = refs[:2]
+        if with_stats:
+            y_ref, gs_ref = refs[idx:idx + 2]
+            idx += 2
         if affine:
-            (x_ref, g_ref, a_ref, b_ref, dwk_ref, pwt_ref,
-             dx_ref, ddw_ref, dpw_ref, da_ref, db_ref) = refs
+            a_ref, b_ref = refs[idx:idx + 2]
+            idx += 2
+        dwk_ref, pwt_ref = refs[idx:idx + 2]
+        outs = refs[idx + 2:]
+        if affine:
+            dx_ref, ddw_ref, dpw_ref, da_ref, db_ref = outs
         else:
-            x_ref, g_ref, dwk_ref, pwt_ref, dx_ref, ddw_ref, dpw_ref = refs
+            dx_ref, ddw_ref, dpw_ref = outs
         ni = pl.program_id(0)
         hi = pl.program_id(1)
         xt = x_ref[0]
@@ -366,6 +394,12 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         if not padded:
             xt = _fix_window(xt, hi, nh, d)
             gt = _fix_window(gt, hi, nh, d)
+        if with_stats:
+            yt = _fix_window(y_ref[0], hi, nh, d)
+            adj = gs_ref[0] + 2.0 * yt.astype(jnp.float32) * gs_ref[1]
+            # rows outside the image carry no cotangent
+            adj = _zero_pad_rows(adj, hi, th=th, d=d, h=h, wpad=wpad)
+            gt = (gt.astype(jnp.float32) + adj).astype(g_ref.dtype)
 
         @pl.when(jnp.logical_and(ni == 0, hi == 0))
         def _():
@@ -435,6 +469,11 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         in_specs = [_halo_spec_nopad(th, d, h, w_op, c),
                     _halo_spec_nopad(th, d, h, w_op, f)]
     operands = [xp, gp]
+    if with_stats:
+        gs, y = stats
+        in_specs += [_halo_spec_nopad(th, d, h, w_op, f),
+                     pl.BlockSpec((2, f), lambda ni, hi: (0, 0))]
+        operands += [y, gs]
     if affine:
         in_specs += [vec_spec, vec_spec]
         operands += [ab[0], ab[1]]
@@ -582,28 +621,21 @@ fused_sepconv_affine.defvjp(_fsa_fwd, _fsa_bwd)
 # stats-emitting variants
 # ---------------------------------------------------------------------------
 #
-# ``*_stats`` variants additionally return per-(image, row-tile) partial
-# (Σy, Σy²) of the bf16-rounded output, shapes (N, nh, F) fp32 — emitted by
-# the forward kernel from the tile already in VMEM.  The consuming
-# BatchNorm2d (``stats=``) then never re-reads y for its statistics.  The
-# VJP is exact: cotangents arriving on the stats outputs are folded into
-# y's cotangent as  dy += gs1 + 2·y·gs2  (the Jacobian of Σy / Σy² per
-# tile) in one XLA elementwise pass over (y, g) before the fused backward
-# kernel — the same math XLA autodiff produces for explicit Σy/Σy²
-# reductions, so BN's gradient path through mean/var is unchanged.
+# ``*_stats`` variants additionally return per-CHANNEL (Σy, Σy²) of the
+# bf16-rounded output, two (F,) fp32 vectors accumulated across the
+# sequential grid inside the forward kernel.  The consuming BatchNorm2d
+# (``stats=``) then never re-reads y for its statistics.  The VJP is
+# exact: cotangents arriving on the stats outputs are per-channel, and
+# fold into y's cotangent as  dy += gs1 + 2·y·gs2  (the Jacobian of
+# Σy / Σy²) — one XLA elementwise pass over (y, g) before the fused
+# backward kernel — the same math XLA autodiff produces for explicit
+# Σy/Σy² reductions, so BN's gradient path through mean/var is unchanged.
 
 
-def _stats_adjust(gy, gs1, gs2, y, th):
-    """dy_total = gy + gs1[tile] + 2·y·gs2[tile], fp32, cast to y.dtype."""
-    n, h, w, f = y.shape
-    nh = h // th
-    b1 = jnp.broadcast_to(
-        gs1[:, :, None, None, :], (n, nh, th, w, f)
-    ).reshape(n, h, w, f)
-    b2 = jnp.broadcast_to(
-        gs2[:, :, None, None, :], (n, nh, th, w, f)
-    ).reshape(n, h, w, f)
-    g32 = gy.astype(jnp.float32) + b1 + 2.0 * y.astype(jnp.float32) * b2
+def _stats_adjust(gy, gs1, gs2, y):
+    """dy_total = gy + gs1 + 2·y·gs2 (per-channel gs), fp32, cast back."""
+    g32 = (gy.astype(jnp.float32) + gs1
+           + 2.0 * y.astype(jnp.float32) * gs2)
     return g32.astype(y.dtype)
 
 
@@ -612,14 +644,13 @@ def fused_sepconv_stats(x, dwk, pwk, pre_relu: bool = True,
                         dilation: int = 1, interpret: bool = False):
     """``fused_sepconv`` that also returns (Σy, Σy²) tile partials.
 
-    Returns ``(y, s1, s2)`` with y as ``fused_sepconv`` and s1/s2 of shape
-    (N, nh, F) in fp32; ``s1.sum((0,1))`` == ``y.astype(f32).sum((0,1,2))``
-    exactly (same fp32 accumulation order per tile)."""
+    Returns ``(y, s1, s2)`` with y as ``fused_sepconv`` and s1/s2 (F,)
+    fp32 per-channel sums of the bf16-rounded output."""
     op, padded = _prep_in(x, pwk.shape[-1], dilation)
     y, s = _fwd_pallas(op, dwk, pwk, pre_relu=pre_relu,
                        dilation=dilation, interpret=interpret,
                        emit_stats=True, padded=padded)
-    return y, s[:, :, 0], s[:, :, 1]
+    return y, s[0], s[1]
 
 
 def _fss_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
@@ -627,16 +658,30 @@ def _fss_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
     y, s = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
                        dilation=dilation, interpret=interpret,
                        emit_stats=True, padded=padded)
-    return (y, s[:, :, 0], s[:, :, 1]), (xp, dwk, pwk, y)
+    return (y, s[0], s[1]), (xp, dwk, pwk, y)
+
+
+def _stats_inkernel() -> bool:
+    """Fold the stats cotangent into gt inside the backward kernel
+    (requires nopad mode) — opt-in (DEEPCAM_STATS_INKERNEL=1) pending the
+    TPU A/B; the XLA-side adjust costs ~5 ms/step across the model."""
+    import os
+
+    return os.environ.get("DEEPCAM_STATS_INKERNEL", "0") == "1"
 
 
 def _fss_bwd(pre_relu, dilation, interpret, res, g):
     xp, dwk, pwk, y = res
     gy, gs1, gs2 = g
-    th = _pick_row_tile(y.shape[1], y.shape[2], xp.shape[-1],
-                        pwk.shape[-1], dilation)
-    gadj = _stats_adjust(gy, gs1, gs2, y, th)
     padded = xp.shape[1] != y.shape[1]
+    if not padded and _stats_inkernel():
+        dx, ddw, dpw = _bwd_pallas(
+            xp, gy.astype(xp.dtype), dwk, pwk.T,
+            pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+            padded=False, stats=(jnp.stack([gs1, gs2]), y),
+        )
+        return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
+    gadj = _stats_adjust(gy, gs1, gs2, y)
     if padded:
         gadj = _pad_h(gadj, dilation)
     dx, ddw, dpw = _bwd_pallas(
@@ -660,7 +705,7 @@ def fused_sepconv_affine_stats(x, a, b, dwk, pwk, pre_relu: bool = True,
         interpret=interpret, ab=(a.reshape(1, -1), b.reshape(1, -1)),
         emit_stats=True, padded=padded,
     )
-    return y, s[:, :, 0], s[:, :, 1]
+    return y, s[0], s[1]
 
 
 def _fsas_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
@@ -669,16 +714,23 @@ def _fsas_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
                        dilation=dilation, interpret=interpret,
                        ab=(a.reshape(1, -1), b.reshape(1, -1)),
                        emit_stats=True, padded=padded)
-    return (y, s[:, :, 0], s[:, :, 1]), (xp, a, b, dwk, pwk, y)
+    return (y, s[0], s[1]), (xp, a, b, dwk, pwk, y)
 
 
 def _fsas_bwd(pre_relu, dilation, interpret, res, g):
     xp, a, b, dwk, pwk, y = res
     gy, gs1, gs2 = g
-    th = _pick_row_tile(y.shape[1], y.shape[2], xp.shape[-1],
-                        pwk.shape[-1], dilation)
-    gadj = _stats_adjust(gy, gs1, gs2, y, th)
     padded = xp.shape[1] != y.shape[1]
+    if not padded and _stats_inkernel():
+        dx, ddw, dpw, da, db = _bwd_pallas(
+            xp, gy.astype(xp.dtype), dwk, pwk.T,
+            pre_relu=pre_relu, dilation=dilation, interpret=interpret,
+            ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=False,
+            stats=(jnp.stack([gs1, gs2]), y),
+        )
+        return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
+                ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
+    gadj = _stats_adjust(gy, gs1, gs2, y)
     if padded:
         gadj = _pad_h(gadj, dilation)
     dx, ddw, dpw, da, db = _bwd_pallas(

@@ -213,11 +213,11 @@ class TestStatsVariants:
 
         y, s1, s2 = fused_sepconv_stats(x, dwk, pwk, True, 1, True)
         y32 = np.asarray(y, np.float64)
+        assert s1.shape == (f,) and s2.shape == (f,)
         np.testing.assert_allclose(
-            np.asarray(s1).sum((0, 1)), y32.sum((0, 1, 2)),
-            rtol=1e-5, atol=1e-5)
+            np.asarray(s1), y32.sum((0, 1, 2)), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(
-            np.asarray(s2).sum((0, 1)), (y32 * y32).sum((0, 1, 2)),
+            np.asarray(s2), (y32 * y32).sum((0, 1, 2)),
             rtol=1e-5, atol=1e-5)
         # y itself is unchanged vs the plain kernel
         np.testing.assert_array_equal(
@@ -254,8 +254,8 @@ class TestStatsVariants:
                     x, a, b, dwk, pwk, True, 1, True)
             else:
                 y, s1, s2 = fused_sepconv_stats(x, dwk, pwk, True, 1, True)
-            mean = jnp.sum(s1, axis=(0, 1)) / cnt
-            var = jnp.sum(s2, axis=(0, 1)) / cnt - mean * mean
+            mean = s1 / cnt
+            var = s2 / cnt - mean * mean
             return norm_loss(y, mean, var)
 
         def loss_ref(x, dwk, pwk):
@@ -388,8 +388,8 @@ class TestNopadWindows:
             def loss(x, a, b, dwk, pwk):
                 y, s1, s2 = fused_sepconv_affine_stats(
                     x, a, b, dwk, pwk, True, 1, True)
-                mean = jnp.sum(s1, axis=(0, 1)) / (n * h * w)
-                var = jnp.sum(s2, axis=(0, 1)) / (n * h * w) - mean * mean
+                mean = s1 / (n * h * w)
+                var = s2 / (n * h * w) - mean * mean
                 return jnp.sum((y - mean) * jax.lax.rsqrt(var + 1e-5) * ct)
 
             y, s1, s2 = fused_sepconv_affine_stats(
@@ -403,6 +403,50 @@ class TestNopadWindows:
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                        rtol=1e-5, atol=1e-6)
         for a_, b_, name in zip(g_n, g_p, ("dx", "da", "db", "ddw", "dpw")):
+            np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5,
+                err_msg=name)
+
+    @pytest.mark.parametrize("affine", [False, True])
+    def test_inkernel_stats_adjust_matches_xla(self, affine, monkeypatch):
+        """DEEPCAM_STATS_INKERNEL=1 (nopad mode): the backward kernel's
+        in-kernel ``gt += gs1 + 2·y·gs2`` matches the XLA-side adjust."""
+        from deepcam_tpu.ops.pallas.fused_sepconv import (
+            fused_sepconv_affine_stats,
+            fused_sepconv_stats,
+        )
+
+        monkeypatch.setenv("DEEPCAM_FUSED_TH", "4")
+        monkeypatch.setenv("DEEPCAM_FUSED_NOPAD", "1")
+        n, h, w, c, f = 2, 16, 12, 16, 16
+        rng = np.random.RandomState(14)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        a = jnp.asarray(1.0 + 0.3 * rng.randn(c), jnp.float32)
+        b = jnp.asarray(0.3 * rng.randn(c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+        ct = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+        cnt = n * h * w
+
+        def loss(x, a, b, dwk, pwk):
+            if affine:
+                y, s1, s2 = fused_sepconv_affine_stats(
+                    x, a, b, dwk, pwk, True, 1, True)
+            else:
+                y, s1, s2 = fused_sepconv_stats(x, dwk, pwk, True, 1, True)
+            mean = s1 / cnt
+            var = s2 / cnt - mean * mean
+            return jnp.sum((y - mean) * jax.lax.rsqrt(var + 1e-5) * ct)
+
+        def run(flag):
+            monkeypatch.setenv("DEEPCAM_STATS_INKERNEL", flag)
+            return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                x, a, b, dwk, pwk)
+
+        g_k = run("1")
+        g_x = run("0")
+        for a_, b_, name in zip(g_k, g_x,
+                                ("dx", "da", "db", "ddw", "dpw")):
             np.testing.assert_allclose(
                 np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5,
                 err_msg=name)
