@@ -855,6 +855,14 @@ class SeparableConv2dSame(nn.Module):
 # BatchNorm with torch semantics
 # ---------------------------------------------------------------------------
 
+def _bn_one_pass() -> bool:
+    """One-pass E[x²] batch statistics for XLA-producer BNs — opt-in
+    (DEEPCAM_BN_ONEPASS=1) pending TPU A/B."""
+    import os
+
+    return os.environ.get("DEEPCAM_BN_ONEPASS", "0") == "1"
+
+
 class BatchNorm2d(nn.Module):
     """BatchNorm over NHW with torch-parity running statistics.
 
@@ -956,6 +964,26 @@ class BatchNorm2d(nn.Module):
                 ex2 = lax.pmean(ex2, self.axis_name)
                 n = n * lax.psum(1, self.axis_name)
             # one-pass variance; clamp the fp32 cancellation residue
+            var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        elif train and _bn_one_pass():
+            # one-pass E[x²]−E[x]² (opt-in DEEPCAM_BN_ONEPASS=1): both
+            # sums come from ONE multi-output reduce fusion over x — half
+            # the stats read traffic of the two-pass form; fp32 accum, var
+            # clamped at 0 against the cancellation residue (same policy
+            # as the kernel-stats path)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+            ex2 = jnp.mean(
+                jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
+            if self.axis_name is not None:
+                mean = lax.pmean(mean, self.axis_name)
+                ex2 = lax.pmean(ex2, self.axis_name)
+                n = n * lax.psum(1, self.axis_name)
             var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum

@@ -220,3 +220,37 @@ def test_batchnorm_group_blocks():
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
         upd_g["batch_stats"], upd_f["batch_stats"],
     )
+
+
+def test_batchnorm_one_pass_matches_two_pass(monkeypatch):
+    """DEEPCAM_BN_ONEPASS: identical mean/var/updates to the centered
+    two-pass form within fp32 cancellation tolerance."""
+    import numpy as np
+
+    from deepcam_tpu.models.layers import BatchNorm2d
+
+    rng = np.random.RandomState(42)
+    x = jnp.asarray(3.0 + rng.randn(2, 8, 6, 16), jnp.float32)  # mean >> 0
+    bn = BatchNorm2d(dtype=jnp.float32)
+    v = bn.init(jax.random.PRNGKey(0), x, train=True)
+
+    def run(flag):
+        monkeypatch.setenv("DEEPCAM_BN_ONEPASS", flag)
+        y, upd = bn.apply(v, x, train=True, mutable=["batch_stats"])
+        g = jax.grad(lambda x: jnp.sum(
+            bn.apply(v, x, train=True, mutable=["batch_stats"])[0] ** 2))(x)
+        return y, upd["batch_stats"], g
+
+    y1, u1, g1 = run("1")
+    y0, u0, g0 = run("0")
+    # E[x²]−mean² loses ~(mean²/var)·eps_f32 of var to cancellation — at
+    # this test's mean≈3, var≈1 that is ~1e-6 relative on var, ~3e-5
+    # absolute on the normalized output (the same numerics class as
+    # cuDNN's one-pass BN)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-3, atol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        (u1, g1), (u0, g0),
+    )
