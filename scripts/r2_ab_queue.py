@@ -16,6 +16,9 @@ CONFIGS = [
     ("nopad", {"DEEPCAM_FUSED_NOPAD": "1"}),
     ("tail_blocks", {"DEEPCAM_TAIL_BLOCKS": "1"}),
     ("nopad+tail", {"DEEPCAM_FUSED_NOPAD": "1", "DEEPCAM_TAIL_BLOCKS": "1"}),
+    ("nopad+inkernel", {"DEEPCAM_FUSED_NOPAD": "1",
+                        "DEEPCAM_STATS_INKERNEL": "1"}),
+    ("bn_onepass", {"DEEPCAM_BN_ONEPASS": "1"}),
 ]
 
 
