@@ -83,8 +83,12 @@ def main():
     del variables
     state = jax.device_put(state, meshlib.replicated(mesh))
 
+    # BENCH_REMAT=1: rematerialized step (jax.checkpoint) — trades ~30%
+    # recompute for activation memory, for batch-scaling experiments past
+    # the b8 OOM point.
     step_fn = make_train_step(
-        model, tx, list(class_weights()), mesh, fpw_1=FPW_1, fpw_2=FPW_2
+        model, tx, list(class_weights()), mesh, fpw_1=FPW_1, fpw_2=FPW_2,
+        remat=os.environ.get("BENCH_REMAT") == "1",
     )
 
     batch = LOCAL_BATCH * n_chips
