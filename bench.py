@@ -56,11 +56,38 @@ def main():
     from deepcam_tpu.train.optim import build_optimizer
     from deepcam_tpu.train.trainer import create_train_state, make_train_step
 
-    # The axon relay occasionally drops and fails backend init with
-    # UNAVAILABLE for a while (see memory note axon-relay-wedge); retry a
-    # few times before giving up so a transient outage doesn't void the
-    # round's benchmark.  Bounded: a dead relay fails fast, so this adds
-    # ~12 min worst case, not hours.
+    # The axon relay occasionally drops for a while (see memory note
+    # axon-relay-wedge).  Two observed failure modes: backend init FAILS
+    # fast (UNAVAILABLE) or HANGS for tens of minutes.  The inline retry
+    # below handles the first; the subprocess probe loop here handles the
+    # second — each probe is its own process with a hard timeout (killing
+    # a hung *init* carries no in-flight device work, so it cannot wedge
+    # the relay further), and we only attempt the real in-process init
+    # once a probe has succeeded.  Total patience: BENCH_INIT_WAIT_S
+    # (default 50 min) so a transient outage doesn't void the round's
+    # benchmark while a dead relay still terminates the run.
+    import subprocess
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_INIT_WAIT_S", "3000"))
+    probe_src = ("import jax, jax.numpy as jnp; "
+                 "print(float(jax.jit(lambda a: (a*2).sum())"
+                 "(jnp.ones((128,128)))))")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               capture_output=True, timeout=300)
+            if r.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print("backend probe never succeeded within BENCH_INIT_WAIT_S; "
+                  "attempting inline init anyway", file=sys.stderr,
+                  flush=True)
+            break
+        print("backend probe failed/hung; relay likely down — waiting",
+              file=sys.stderr, flush=True)
+        time.sleep(120)
     for attempt in range(8):
         try:
             n_chips = jax.device_count()

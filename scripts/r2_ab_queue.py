@@ -19,6 +19,10 @@ CONFIGS = [
     ("nopad+inkernel", {"DEEPCAM_FUSED_NOPAD": "1",
                         "DEEPCAM_STATS_INKERNEL": "1"}),
     ("bn_onepass", {"DEEPCAM_BN_ONEPASS": "1"}),
+    # Batch-scaling arm: remat trades recompute for HBM so batch 6/8 fit
+    # (b8 OOM'd at 16.7 vs 15.75 GB without remat, PERF.md).
+    ("b6_remat", {"BENCH_LOCAL_BATCH": "6", "BENCH_REMAT": "1"}),
+    ("b8_remat", {"BENCH_LOCAL_BATCH": "8", "BENCH_REMAT": "1"}),
 ]
 
 
@@ -29,7 +33,9 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, "-u", "bench.py"], env=e,
-                capture_output=True, text=True, timeout=3000,
+                # generous: killing a client mid-compile wedges the relay
+                # (memory note axon-relay-wedge); new graphs compile minutes
+                capture_output=True, text=True, timeout=5400,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
             line = [l for l in out.stdout.splitlines()
