@@ -24,12 +24,39 @@ from .layers import (
     BatchNorm2d,
     Conv2d,
     ConvTranspose2d,
+    _KernelParam,
+    conv2d,
     kaiming_normal_torch,
     torch_default_conv_kernel_init,
 )
 from .xception import Xception
 
 Dtype = Any
+
+
+def _split_concat() -> bool:
+    """DEEPCAM_SPLIT_CONCAT=1: lower ``conv(concat(parts))`` as the
+    mathematically-identical ``Σ conv(part, k_slice)`` — the concatenated
+    tensor (ASPP's 1280-lane merge, the decoder's unaligned 304-lane
+    skip-join) never materializes and each partial conv's epilogue fuses
+    the add.  Parameter tree is unchanged (one kernel, sliced).  Opt-in
+    pending TPU A/B; numerics differ only by bf16 rounding of the partial
+    sums (parity test: tests/test_model.py)."""
+    return os.environ.get("DEEPCAM_SPLIT_CONCAT", "0") == "1"
+
+
+def _conv_concat_split(parts, kernel, *, padding, compute_dtype):
+    """``conv2d(concat(parts, -1), kernel)`` without the concat."""
+    out = None
+    off = 0
+    k = kernel.astype(compute_dtype)
+    for p in parts:
+        c = p.shape[-1]
+        y = conv2d(p.astype(compute_dtype), k[:, :, off:off + c],
+                   padding=padding)
+        out = y if out is None else out + y
+        off += c
+    return out
 
 
 class ASPPModule(nn.Module):
@@ -127,11 +154,25 @@ class DeconvUpsampler(nn.Module):
         x = ConvTranspose2d(256, dtype=self.dtype, name="deconv2")(x)
         x = bn_relu(x, "deconv2_bn")
 
-        x = jnp.concatenate([x, low_level_features], axis=-1)  # 256+48=304
-        x = Conv2d(
-            256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
-            dtype=self.dtype, name="conv0",
-        )(x)
+        if _split_concat():
+            # conv0 over the virtual 304-lane concat as two partial convs
+            # (the 304-lane tensor pads to 384 lanes on TPU and its concat
+            # was ~5 ms/step of layout copies in the r2 trace)
+            k0 = _KernelParam(
+                (3, 3, 256 + low_level_features.shape[-1], 256),
+                torch_default_conv_kernel_init(), name="conv0",
+            )()
+            x = _conv_concat_split(
+                [x, low_level_features], k0, padding=1,
+                compute_dtype=self.dtype,
+            )
+        else:
+            x = jnp.concatenate([x, low_level_features], axis=-1)  # 304
+            x = Conv2d(
+                256, 3, padding=1,
+                kernel_init=torch_default_conv_kernel_init(),
+                dtype=self.dtype, name="conv0",
+            )(x)
         x = bn_relu(x, "bn0")
         x = Conv2d(
             256, 3, padding=1, kernel_init=torch_default_conv_kernel_init(),
@@ -156,7 +197,7 @@ class DeconvUpsampler(nn.Module):
         # of batch-in-sublane layout reformats around the full-res tail.
         if block_logits and os.environ.get("DEEPCAM_TAIL_BLOCKS", "0") == "1":
             from ..ops.deconv import deconv3x3s2_blocks, deconv3x3s2_blocks2
-            from .layers import _KernelParam, torch_default_convT_kernel_init
+            from .layers import torch_default_convT_kernel_init
 
             dk3 = _KernelParam(
                 (3, 3, 256, 256),
@@ -262,11 +303,22 @@ class DeepLabv3plus(nn.Module):
         gap = resize_bilinear_align_corners(gap, branches[-1].shape[1:3])
         branches.append(gap)
 
-        x = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280
-        x = Conv2d(
-            256, 1, kernel_init=torch_default_conv_kernel_init(),
-            dtype=self.dtype, name="conv1",
-        )(x)
+        if _split_concat():
+            # 1x1 merge conv as five partial matmuls — the 1280-lane concat
+            # never materializes and each branch's BN/ReLU fuses into its
+            # own partial's prologue
+            k1 = _KernelParam(
+                (1, 1, 256 * len(branches), 256),
+                torch_default_conv_kernel_init(), name="conv1",
+            )()
+            x = _conv_concat_split(branches, k1, padding=0,
+                                   compute_dtype=self.dtype)
+        else:
+            x = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280
+            x = Conv2d(
+                256, 1, kernel_init=torch_default_conv_kernel_init(),
+                dtype=self.dtype, name="conv1",
+            )(x)
         x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
 

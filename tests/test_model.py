@@ -138,3 +138,65 @@ def test_block_logits_tail_matches_fullres(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(unblock(y_tail, 4)), np.asarray(unblock(y_flat, 2)),
         rtol=1e-4, atol=1e-4)
+
+
+def test_split_concat_matches_default(monkeypatch):
+    """DEEPCAM_SPLIT_CONCAT lowers conv(concat(parts)) as summed partial
+    convs over slices of the SAME kernel param — identical parameter tree,
+    outputs equal up to partial-sum rounding (fp32 here → tight)."""
+    import numpy as np
+
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 32, 48, 16), jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("DEEPCAM_SPLIT_CONCAT", flag)
+        variables = model.init(jax.random.PRNGKey(5), x, train=False)
+        y = model.apply(variables, x, train=False)
+        return variables, y
+
+    v_split, y_split = run("1")
+    v_base, y_base = run("0")
+    # identical parameter trees (same paths, shapes, init values)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        v_split["params"], v_base["params"])
+    # reduction-order-only deviation (measured max abs 8.8e-5 on O(1)
+    # logits; rel large only at near-zeros)
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_base),
+                               rtol=1e-3, atol=5e-4)
+
+
+def test_split_concat_grads_match(monkeypatch):
+    """Gradients w.r.t. the sliced kernels flow back into the single
+    concat-form parameter correctly."""
+    import numpy as np
+
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 32, 48, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(5), x, train=False)
+
+    def loss(params, flag, monkeypatch=monkeypatch):
+        monkeypatch.setenv("DEEPCAM_SPLIT_CONCAT", flag)
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out * out)
+
+    g_split = jax.grad(lambda p: loss(p, "1"))(variables["params"])
+    g_base = jax.grad(lambda p: loss(p, "0"))(variables["params"])
+    for key in (("conv1",), ("upsample", "conv0")):
+        a, b = g_split, g_base
+        for k in key:
+            a, b = a[k], b[k]
+        # fp32 reduction-order noise through the deep bwd graph
+        np.testing.assert_allclose(np.asarray(a["kernel"]),
+                                   np.asarray(b["kernel"]),
+                                   rtol=2e-3, atol=5e-3)
