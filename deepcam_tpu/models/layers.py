@@ -751,6 +751,51 @@ class SeparableConv2dSame(nn.Module):
 
         in_ch = x.shape[-1]
         fused, interpret = _fused_sepconv_active()
+        # Stride-2 tails through the phase-form fused kernel
+        # (ops/pallas/fused_sepconv_s2.py) — opt-in DEEPCAM_FUSED_S2=1
+        # pending the TPU A/B.  Tails are bare (no pre-ReLU); the folded
+        # BN-apply rides along when bn_fold hands one in.
+        if (
+            fused
+            and self.kernel_size == 3
+            and self.stride == 2
+            and self.dilation == 1
+            and not self.use_bias
+            and not self.pre_relu
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and os.environ.get("DEEPCAM_FUSED_S2", "0") == "1"
+        ):
+            from ..ops.pallas.fused_sepconv_s2 import (
+                fused_sepconv_s2,
+                fused_sepconv_s2_affine,
+            )
+
+            dwk = _KernelParam(
+                (3, 3, 1, in_ch), self.kernel_init, self.param_dtype,
+                name="depthwise",
+            )()
+            pwk = _KernelParam(
+                (1, 1, in_ch, self.features), self.kernel_init,
+                self.param_dtype, name="pointwise",
+            )()
+            if bn_fold is not None:
+                a, b = bn_fold
+                y = fused_sepconv_s2_affine(
+                    x.astype(self.dtype), a.astype(self.dtype),
+                    b.astype(self.dtype),
+                    dwk[:, :, 0, :].astype(self.dtype),
+                    pwk[0, 0].astype(self.dtype), interpret,
+                )
+            else:
+                y = fused_sepconv_s2(
+                    x.astype(self.dtype),
+                    dwk[:, :, 0, :].astype(self.dtype),
+                    pwk[0, 0].astype(self.dtype), interpret,
+                )
+            if emit_stats:
+                return y, None
+            return y
         # the kernel wins where the backward dominates (wide channels);
         # XLA keeps the lane-starved entry shapes (measured: PERF.md r2)
         min_ch = int(os.environ.get("DEEPCAM_FUSED_MIN_CH", "0"))

@@ -1,0 +1,133 @@
+"""Parity tests for the fused stride-2 sepconv kernel
+(ops/pallas/fused_sepconv_s2.py) in CPU interpret mode.
+
+Reference composition: depthwise 3x3 / stride 2 / 'same' pad (1,1) →
+pointwise 1x1 — the unfused XLA path of SeparableConv2dSame's tail form
+(reference ``SeparableConv2d_same`` with stride 2,
+``deeplab_xception.py:54-66``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepcam_tpu.models.layers import conv2d
+from deepcam_tpu.ops.pallas.fused_sepconv_s2 import (
+    fused_sepconv_s2,
+    fused_sepconv_s2_affine,
+)
+
+
+def _ref(x, dwk, pwk, ab=None):
+    if ab is not None:
+        a, b = ab
+        x = x * a.reshape(1, 1, 1, -1) + b.reshape(1, 1, 1, -1)
+    c = x.shape[-1]
+    y = conv2d(x, dwk[:, :, None, :], stride=2, padding=((1, 1), (1, 1)),
+               groups=c)
+    return conv2d(y, pwk[None, None], padding=0)
+
+
+SHAPES = [
+    (1, 8, 12, 8, 16),
+    (2, 16, 24, 16, 16),
+    (1, 12, 8, 24, 8),   # W < H, C not a lane multiple
+    (2, 32, 12, 8, 24),  # multi-tile rows
+]
+
+
+@pytest.mark.parametrize("n,h,w,c,f", SHAPES)
+@pytest.mark.parametrize("affine", [False, True])
+def test_forward_parity(n, h, w, c, f, affine):
+    rng = np.random.RandomState(hash((n, h, w, c, f, affine)) % 2**31)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    dwk = jnp.asarray(rng.randn(3, 3, c) * 0.3, jnp.float32)
+    pwk = jnp.asarray(rng.randn(c, f) * 0.2, jnp.float32)
+    if affine:
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        y = fused_sepconv_s2_affine(x, a, b, dwk, pwk, True)
+        y_ref = _ref(x, dwk, pwk, ab=(a, b))
+    else:
+        y = fused_sepconv_s2(x, dwk, pwk, True)
+        y_ref = _ref(x, dwk, pwk)
+    assert y.shape == (n, h // 2, w // 2, f)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,h,w,c,f", SHAPES[:3])
+@pytest.mark.parametrize("affine", [False, True])
+def test_gradient_parity(n, h, w, c, f, affine):
+    rng = np.random.RandomState(hash((n, h, w, c, f, affine, 1)) % 2**31)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    dwk = jnp.asarray(rng.randn(3, 3, c) * 0.3, jnp.float32)
+    pwk = jnp.asarray(rng.randn(c, f) * 0.2, jnp.float32)
+    g = jnp.asarray(rng.randn(n, h // 2, w // 2, f), jnp.float32)
+
+    if affine:
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+
+        def f_fused(x, a, b, dwk, pwk):
+            return jnp.sum(fused_sepconv_s2_affine(x, a, b, dwk, pwk, True)
+                           * g)
+
+        def f_ref(x, a, b, dwk, pwk):
+            return jnp.sum(_ref(x, dwk, pwk, ab=(a, b)) * g)
+
+        grads = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk, pwk)
+        grads_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk,
+                                                             pwk)
+    else:
+        def f_fused(x, dwk, pwk):
+            return jnp.sum(fused_sepconv_s2(x, dwk, pwk, True) * g)
+
+        def f_ref(x, dwk, pwk):
+            return jnp.sum(_ref(x, dwk, pwk) * g)
+
+        grads = jax.grad(f_fused, argnums=(0, 1, 2))(x, dwk, pwk)
+        grads_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, dwk, pwk)
+
+    for got, want in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_model_tail_matches_xla(monkeypatch):
+    """SeparableConv2dSame stride-2 routes through the kernel under
+    DEEPCAM_FUSED_S2=1 + forced-fused impl, with the identical parameter
+    tree and matching output/gradients."""
+    from deepcam_tpu.models.layers import SeparableConv2dSame, \
+        set_sepconv_impl
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 16, 24, 8), jnp.float32)
+    mod = SeparableConv2dSame(features=12, kernel_size=3, stride=2,
+                              dtype=jnp.float32)
+
+    def run(impl, flag):
+        monkeypatch.setenv("DEEPCAM_FUSED_S2", flag)
+        set_sepconv_impl(impl)
+        try:
+            v = mod.init(jax.random.PRNGKey(0), x)
+
+            def loss(p):
+                return jnp.sum(mod.apply({"params": p}, x) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(v["params"])
+            return v, val, grads
+        finally:
+            set_sepconv_impl("auto")
+
+    v_f, val_f, g_f = run("fused", "1")
+    v_x, val_x, g_x = run("xla", "0")
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_array_equal(np.asarray(p),
+                                                   np.asarray(q)),
+        v_f["params"], v_x["params"])
+    np.testing.assert_allclose(float(val_f), float(val_x), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-4),
+        g_f, g_x)
