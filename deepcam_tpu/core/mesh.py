@@ -27,6 +27,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger(__name__)
 
 
+def _distributed_client_active() -> bool:
+    """True when jax.distributed.initialize() already ran (e.g. by the
+    launcher or a test harness).  Reads the client handle directly —
+    ``jax.process_count()`` would initialise the XLA backend as a side
+    effect, which must not happen before our own initialize() call."""
+    try:
+        from jax._src import distributed as _jdist
+
+        return _jdist.global_state.client is not None
+    except Exception:
+        # private-module layout changed: fall back (may init the backend,
+        # acceptable as a last resort)
+        return jax.process_count() > 1
+
+
+def _multiworker_env() -> bool:
+    """A MULTI-process launch is indicated: explicit coordinator env vars,
+    or a multi-entry TPU worker list.  Single-worker TPU VMs also set
+    TPU_WORKER_HOSTNAMES (one hostname) — single-process runs must not
+    attempt distributed wireup on its account."""
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        return True
+    if "COORDINATOR_ADDRESS" in os.environ:
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return "," in hosts
+
+
 def init_distributed(wireup_method: str = "auto") -> None:
     """Multi-host wireup.  ``auto`` initializes jax.distributed only when a
     multi-process environment is detected (coordinator env vars present) and
@@ -37,18 +65,14 @@ def init_distributed(wireup_method: str = "auto") -> None:
     parity analogue of comm.init's degenerate single-rank path."""
     if wireup_method == "dummy":
         return
-    already = jax.process_count() > 1
-    if already:
+    # Do NOT probe jax.process_count() here: it initializes the XLA
+    # backend, after which jax.distributed.initialize() ALWAYS fails
+    # ("must be called before any JAX calls...") — the latent form of the
+    # half-wired-pod failure this function exists to prevent.  Check the
+    # distributed client directly (no backend side effect).
+    if _distributed_client_active():
         return
-    has_env = any(
-        k in os.environ
-        for k in (
-            "JAX_COORDINATOR_ADDRESS",
-            "COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES",
-        )
-    )
-    if wireup_method == "auto" and not has_env:
+    if wireup_method == "auto" and not _multiworker_env():
         return
     try:
         jax.distributed.initialize()

@@ -57,3 +57,34 @@ def test_put_global_single_process_places_shards():
     assert arr.shape == x.shape
     np.testing.assert_array_equal(np.asarray(arr), x)
     assert arr.sharding == sharding
+
+
+def test_wireup_single_worker_hostnames_not_multiworker(monkeypatch):
+    """Single-worker TPU VMs set TPU_WORKER_HOSTNAMES=<one host> — auto
+    must NOT attempt distributed wireup for it (only a comma-separated
+    multi-worker list or explicit coordinator vars count)."""
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: called.append(1))
+    meshlib.init_distributed("auto")
+    assert not called
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    meshlib.init_distributed("auto")
+    assert called
+
+
+def test_wireup_does_not_touch_backend_before_initialize(monkeypatch):
+    """init_distributed must not trigger XLA backend creation before
+    calling jax.distributed.initialize() — jax.process_count() does, after
+    which initialize() can never succeed (the latent half-wired-pod bug)."""
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    order = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: order.append("initialize"))
+    monkeypatch.setattr(jax, "process_count",
+                        lambda *a, **k: order.append("process_count") or 1)
+    meshlib.init_distributed("auto")
+    assert order == ["initialize"]
