@@ -29,6 +29,20 @@ CONFIGS = [
 
 
 def main():
+    # cheap standalone validation of the new stride-2 kernel first (small
+    # graphs, fast compile) so Mosaic lowering issues surface before the
+    # full-model configs spend their compile budget
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        pre = subprocess.run(
+            [sys.executable, "-u", "scripts/s2_kernel_ab.py"],
+            capture_output=True, text=True, timeout=3600, cwd=root,
+        )
+        print("S2_KERNEL_AB:\n" + pre.stdout, flush=True)
+        if pre.returncode != 0:
+            print(pre.stderr[-3000:], file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired:
+        print("S2_KERNEL_AB: TIMEOUT", flush=True)
     results = {}
     for name, env in CONFIGS:
         e = dict(os.environ, **env)
