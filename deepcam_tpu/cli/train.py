@@ -209,16 +209,21 @@ def main(pargs) -> dict:
     statsfile = os.path.join(root_dir, "stats.h5")
     validation_dir = os.path.join(root_dir, "validation")
 
+    # Under O1/O2 the model's first op casts the input to bf16 anyway; the
+    # dataset emits bf16 DIRECTLY from the fused native normalize+cast —
+    # bit-identical, one less full pass on the host, and half the bytes
+    # through batch assembly and host→HBM transfer.
+    bf16_in = compute_dtype == jnp.bfloat16
     train_set = CamDataset(
         train_dir, statsfile=statsfile, channels=pargs.channels,
         allow_uneven_distribution=False, shuffle=True,
-        comm_size=comm_size, comm_rank=comm_rank,
+        comm_size=comm_size, comm_rank=comm_rank, bf16_out=bf16_in,
     )
     validation_set = CamDataset(
         validation_dir, statsfile=statsfile, channels=pargs.channels,
         allow_uneven_distribution=True,
         shuffle=(pargs.max_validation_steps is not None),
-        comm_size=comm_size, comm_rank=comm_rank,
+        comm_size=comm_size, comm_rank=comm_rank, bf16_out=bf16_in,
     )
     h, w = train_set.data_shape[0], train_set.data_shape[1]
 
@@ -280,12 +285,16 @@ def main(pargs) -> dict:
     # With bf16 compute the model's first op casts the input anyway
     # (deeplab.py: x.astype(dtype)); casting on the HOST instead halves the
     # host->HBM transfer (54 -> 27 MB/sample) with bit-identical results.
+    # The dataset normally emits bf16 already (fused native normalize+cast,
+    # bf16_out above) — this is a no-copy safety net for fp32 producers.
     input_cast = (
         np.dtype(jnp.bfloat16) if compute_dtype == jnp.bfloat16 else None
     )
 
     def cast_input(data):
-        return data.astype(input_cast) if input_cast is not None else data
+        if input_cast is None:
+            return data
+        return data.astype(input_cast, copy=False)
 
     def cast_batches(it):
         for data, label, names in it:

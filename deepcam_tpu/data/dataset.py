@@ -42,7 +42,13 @@ class CamDataset:
         comm_size: int = 1,
         comm_rank: int = 0,
         seed: int = 12345,
+        bf16_out: bool = False,
     ):
+        # bf16_out: emit normalized samples directly as bfloat16 — ONE
+        # fused native pass instead of fp32 normalize + a separate host
+        # cast (bit-identical to the two-step form; halves sample bytes
+        # through batch assembly and host→HBM transfer).  Only meaningful
+        # with preprocess=True.
         self.source = source
         self.statsfile = statsfile
         self.channels = list(channels)
@@ -51,6 +57,7 @@ class CamDataset:
         self.comm_size = comm_size
         self.comm_rank = comm_rank
         self.allow_uneven_distribution = allow_uneven_distribution
+        self.bf16_out = bf16_out
 
         self.all_files = sorted(
             os.path.join(source, x) for x in os.listdir(source) if x.endswith(".h5")
@@ -107,7 +114,12 @@ class CamDataset:
         if self.preprocess:
             from ..ops import native
 
-            data = native.normalize_hwc(
-                data, self.data_shift, self.data_scale
-            )
+            if self.bf16_out:
+                data = native.normalize_hwc_bf16(
+                    data, self.data_shift, self.data_scale
+                )
+            else:
+                data = native.normalize_hwc(
+                    data, self.data_shift, self.data_scale
+                )
         return data, label, filename

@@ -97,6 +97,10 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
         cdll.narrow_labels_i64_i32.argtypes = [c_i32p, c_i64p, ctypes.c_int64]
+        c_u16p = ctypes.POINTER(ctypes.c_uint16)
+        cdll.normalize_hwc_f32_to_bf16.argtypes = [
+            c_u16p, c_f32p, c_f32p, c_f32p, ctypes.c_int64, ctypes.c_int64,
+        ]
         if not _sanity_check(cdll):
             _failed = True
             return None
@@ -121,6 +125,33 @@ def normalize_hwc(data, shift, scale, out=None):
     f32p = ctypes.POINTER(ctypes.c_float)
     cdll.normalize_hwc_f32(
         out.ctypes.data_as(f32p), data.ctypes.data_as(f32p),
+        shift.ctypes.data_as(f32p), scale.ctypes.data_as(f32p),
+        h * w, c,
+    )
+    return out
+
+
+def normalize_hwc_bf16(data, shift, scale):
+    """``bf16(scale * (data - shift))`` over an (H, W, C) fp32 array in ONE
+    native pass — bit-identical to ``normalize_hwc`` followed by an
+    fp32→bf16 round-to-nearest-even cast (the O1 host input cast), without
+    the fp32 intermediate.  Falls back to the two-step numpy form."""
+    import ml_dtypes
+    import numpy as np
+
+    cdll = lib()
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    if cdll is None:
+        out32 = scale.reshape(1, 1, -1) * (data - shift.reshape(1, 1, -1))
+        return out32.astype(ml_dtypes.bfloat16)
+    h, w, c = data.shape
+    out = np.empty((h, w, c), dtype=ml_dtypes.bfloat16)
+    shift = np.ascontiguousarray(shift.reshape(-1), dtype=np.float32)
+    scale = np.ascontiguousarray(scale.reshape(-1), dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    cdll.normalize_hwc_f32_to_bf16(
+        out.ctypes.data_as(u16p), data.ctypes.data_as(f32p),
         shift.ctypes.data_as(f32p), scale.ctypes.data_as(f32p),
         h * w, c,
     )

@@ -50,6 +50,33 @@ void select_normalize_hwc_f32(float* dst, const float* src,
   }
 }
 
+// fp32 -> bf16 with round-to-nearest-even (the same rounding numpy/XLA
+// use; NaN payloads may not round-trip — climate inputs are finite).
+static inline uint16_t f32_to_bf16_rne(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  x += 0x7fffu + ((x >> 16) & 1u);
+  return static_cast<uint16_t>(x >> 16);
+}
+
+// normalize + cast in ONE pass: dst[i, c] = bf16(scale[c] * (src[i, c] -
+// shift[c])).  Bit-identical to normalize_hwc_f32 followed by an fp32->bf16
+// cast (the host-side input cast the driver does under O1), but without
+// materializing the fp32 intermediate — one less full pass over ~54 MB per
+// sample, and the assembled batch/hbm transfer halves.
+void normalize_hwc_f32_to_bf16(uint16_t* dst, const float* src,
+                               const float* shift, const float* scale,
+                               int64_t n_pixels, int64_t n_channels) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_pixels; ++i) {
+    const float* s = src + i * n_channels;
+    uint16_t* d = dst + i * n_channels;
+    for (int64_t c = 0; c < n_channels; ++c) {
+      d[c] = f32_to_bf16_rne(scale[c] * (s[c] - shift[c]));
+    }
+  }
+}
+
 // Stack n_samples contiguous samples into a batch buffer (memcpy fan-in,
 // parallel over samples).  sample_bytes must be equal for all samples.
 void assemble_batch(uint8_t* dst, const uint8_t** srcs, int64_t n_samples,

@@ -102,3 +102,27 @@ def test_dataloader_keep_last(data_root):
     loader = DataLoader(ds, batch_size=4, drop_last=False)
     batches = list(loader)
     assert [b[0].shape[0] for b in batches] == [4, 3]
+
+
+def test_dataset_bf16_out(tmp_path):
+    """bf16_out=True emits bfloat16 samples bit-identical to the fp32
+    pipeline followed by the host cast."""
+    import ml_dtypes
+
+    from deepcam_tpu.data.synthetic import make_synthetic_dataset
+
+    import os
+
+    root = str(tmp_path / "d")
+    make_synthetic_dataset(root, n_train=2, n_validation=1, shape=(16, 24))
+    kw = dict(statsfile=os.path.join(root, "stats.h5"),
+              channels=list(range(16)))
+    ds32 = CamDataset(os.path.join(root, "train"), **kw)
+    ds16 = CamDataset(os.path.join(root, "train"), bf16_out=True, **kw)
+    d32, l32, n32 = ds32[0]
+    d16, l16, n16 = ds16[0]
+    assert d16.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        d16.view(np.uint16), d32.astype(ml_dtypes.bfloat16).view(np.uint16))
+    np.testing.assert_array_equal(l16, l32)
+    assert n16 == n32
