@@ -131,3 +131,41 @@ def test_model_tail_matches_xla(monkeypatch):
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-4),
         g_f, g_x)
+
+
+def test_bf16_forward_close():
+    """bf16 operands (the production dtype): fused vs unfused within bf16
+    tolerance; also exercises the kernel's dtype handling in interpret."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 16, 24, 16), jnp.bfloat16)
+    a = jnp.asarray(rng.rand(16) + 0.5, jnp.bfloat16)
+    b = jnp.asarray(rng.randn(16) * 0.1, jnp.bfloat16)
+    dwk = jnp.asarray(rng.randn(3, 3, 16) * 0.3, jnp.bfloat16)
+    pwk = jnp.asarray(rng.randn(16, 12) * 0.2, jnp.bfloat16)
+    y = fused_sepconv_s2_affine(x, a, b, dwk, pwk, True)
+    # reference path in mixed precision: emulate the unfused bf16 pipeline
+    u = (x * a.reshape(1, 1, 1, -1) + b.reshape(1, 1, 1, -1))
+    y_ref = conv2d(u, dwk[:, :, None, :], stride=2,
+                   padding=((1, 1), (1, 1)), groups=16)
+    y_ref = conv2d(y_ref, pwk[None, None], padding=0)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_bf16_grads_finite():
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(1, 16, 24, 16), jnp.bfloat16)
+    a = jnp.asarray(rng.rand(16) + 0.5, jnp.bfloat16)
+    b = jnp.asarray(rng.randn(16) * 0.1, jnp.bfloat16)
+    dwk = jnp.asarray(rng.randn(3, 3, 16) * 0.3, jnp.bfloat16)
+    pwk = jnp.asarray(rng.randn(16, 12) * 0.2, jnp.bfloat16)
+
+    def loss(x, a, b, dwk, pwk):
+        return jnp.sum(fused_sepconv_s2_affine(
+            x, a, b, dwk, pwk, True).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk, pwk)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
