@@ -88,7 +88,9 @@ class DataLoader:
                 if next_submit < len(batches):
                     pending.append(submit(batches[next_submit]))
                     next_submit += 1
-                data = np.stack([s[0] for s in samples])
+                from ..ops.native import stack_samples
+
+                data = stack_samples([s[0] for s in samples])
                 label = np.stack([s[1] for s in samples]).astype(np.int32)
                 names = tuple(s[2] for s in samples)
                 yield data, label, names

@@ -101,6 +101,10 @@ def lib() -> Optional[ctypes.CDLL]:
         cdll.normalize_hwc_f32_to_bf16.argtypes = [
             c_u16p, c_f32p, c_f32p, c_f32p, ctypes.c_int64, ctypes.c_int64,
         ]
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        cdll.assemble_batch.argtypes = [
+            c_u8p, ctypes.POINTER(c_u8p), ctypes.c_int64, ctypes.c_int64,
+        ]
         if not _sanity_check(cdll):
             _failed = True
             return None
@@ -154,5 +158,28 @@ def normalize_hwc_bf16(data, shift, scale):
         out.ctypes.data_as(u16p), data.ctypes.data_as(f32p),
         shift.ctypes.data_as(f32p), scale.ctypes.data_as(f32p),
         h * w, c,
+    )
+    return out
+
+
+def stack_samples(samples):
+    """``np.stack(samples)`` with an OpenMP-parallel memcpy fan-in when the
+    native lib is available (np.stack copies serially; host batches are
+    hundreds of MB).  Samples must be same-shape contiguous arrays."""
+    import numpy as np
+
+    cdll = lib()
+    if cdll is None or len(samples) < 2:
+        return np.stack(samples)
+    s0 = samples[0]
+    if any(s.shape != s0.shape or s.dtype != s0.dtype
+           or not s.flags.c_contiguous for s in samples):
+        return np.stack(samples)
+    out = np.empty((len(samples),) + s0.shape, dtype=s0.dtype)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (u8p * len(samples))(
+        *[s.ctypes.data_as(u8p) for s in samples])
+    cdll.assemble_batch(
+        out.ctypes.data_as(u8p), ptrs, len(samples), s0.nbytes,
     )
     return out

@@ -63,3 +63,18 @@ def test_normalize_bf16_fallback_without_lib(monkeypatch):
             ).astype(ml_dtypes.bfloat16)
     np.testing.assert_array_equal(got.view(np.uint16),
                                   want.view(np.uint16))
+
+
+def test_stack_samples_matches_np_stack():
+    rng = np.random.RandomState(4)
+    for dtype in (np.float32, np.int32):
+        samples = [rng.randn(7, 5, 3).astype(dtype) for _ in range(4)]
+        np.testing.assert_array_equal(
+            native.stack_samples(samples), np.stack(samples))
+    # bf16 samples (the production batch dtype)
+    import ml_dtypes
+    samples = [rng.randn(7, 5, 3).astype(ml_dtypes.bfloat16)
+               for _ in range(3)]
+    np.testing.assert_array_equal(
+        native.stack_samples(samples).view(np.uint16),
+        np.stack(samples).view(np.uint16))
