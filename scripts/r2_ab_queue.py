@@ -67,6 +67,34 @@ def main():
             print(f"AB {name}: TIMEOUT", flush=True)
     print("AB_SUMMARY", json.dumps(results), flush=True)
 
+    # Auto-combine: union of every single-knob config that beat defaults
+    # by >1%, run as one final config (skip batch-scaling arms — they
+    # change the operating point, not the schedule).
+    base = results.get("defaults")
+    if isinstance(base, (int, float)) and base:
+        combo_env = {}
+        for name, env in CONFIGS:
+            if name.startswith("b6") or name.startswith("b8"):
+                continue
+            v = results.get(name)
+            if isinstance(v, (int, float)) and v > base * 1.01:
+                combo_env.update(env)
+        if len(combo_env) > 1:
+            e = dict(os.environ, **combo_env)
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-u", "bench.py"], env=e,
+                    capture_output=True, text=True, timeout=5400,
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))),
+                )
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith('{"metric"')]
+                val = json.loads(line[-1])["value"] if line else None
+                print(f"AB combo {sorted(combo_env)}: {val}", flush=True)
+            except subprocess.TimeoutExpired:
+                print("AB combo: TIMEOUT", flush=True)
+
 
 if __name__ == "__main__":
     main()
