@@ -169,3 +169,44 @@ def test_bf16_grads_finite():
     grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk, pwk)
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
+def test_xception_block_with_fold_matches_xla(monkeypatch):
+    """Full XceptionBlock (rep units + stride-2 tail + skip) in train mode:
+    the BN-fold (a, b) handoff into the fused s2 tail matches the unfused
+    path's separate FMA within fp32 reduction tolerance."""
+    from deepcam_tpu.models.layers import set_sepconv_impl
+    from deepcam_tpu.models.xception import XceptionBlock
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 16, 24, 8), jnp.float32)
+    blk = XceptionBlock(out_ch=12, reps=2, stride=2, dtype=jnp.float32)
+
+    def run(impl, flag):
+        monkeypatch.setenv("DEEPCAM_FUSED_S2", flag)
+        set_sepconv_impl(impl)
+        try:
+            v = blk.init(jax.random.PRNGKey(1), x, train=True)
+
+            def loss(p):
+                out, _ = blk.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"])
+                return jnp.sum(out ** 2)
+
+            val, grads = jax.value_and_grad(loss)(v["params"])
+            return v, val, grads
+        finally:
+            set_sepconv_impl("auto")
+
+    v_f, val_f, g_f = run("fused", "1")
+    v_x, val_x, g_x = run("xla", "0")
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_array_equal(np.asarray(p),
+                                                   np.asarray(q)),
+        v_f["params"], v_x["params"])
+    np.testing.assert_allclose(float(val_f), float(val_x), rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=2e-3, atol=2e-3),
+        g_f, g_x)
