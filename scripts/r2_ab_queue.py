@@ -24,6 +24,9 @@ CONFIGS = [
     # Batch-scaling arm: remat trades recompute for HBM so batch 6/8 fit
     # (b8 OOM'd at 16.7 vs 15.75 GB without remat, PERF.md).
     ("b6_remat", {"BENCH_LOCAL_BATCH": "6", "BENCH_REMAT": "1"}),
+    # b6 OOM'd by only 37 MB at defaults (PERF.md W-halo note); nopad drops
+    # the H-padded operand copies, which may be enough without remat.
+    ("b6_nopad", {"BENCH_LOCAL_BATCH": "6", "DEEPCAM_FUSED_NOPAD": "1"}),
     ("b8_remat", {"BENCH_LOCAL_BATCH": "8", "BENCH_REMAT": "1"}),
 ]
 
