@@ -302,7 +302,14 @@ def main(pargs) -> dict:
     weights = list(class_weights(pargs.loss_weight_pow))
     if spatial > 1:
         # data x spatial via the SPMD partitioner (sync-BN semantics —
-        # parallel/gspmd.py docstring); shard_map path keeps DDP parity
+        # parallel/gspmd.py docstring); shard_map path keeps DDP parity.
+        # The fused sepconv Pallas custom-calls are opaque to the SPMD
+        # partitioner (it cannot insert conv halo exchanges through them),
+        # so the spatial path runs the unfused XLA lowering, which the
+        # partitioner shards automatically.
+        from ..models import layers as layerlib
+
+        layerlib.set_sepconv_impl("xla")
         from ..parallel.gspmd import (
             make_eval_step_gspmd,
             make_train_step_gspmd,

@@ -69,6 +69,52 @@ def test_full_training_run(tmp_path):
 
 
 @pytest.mark.slow
+def test_spatial_cli_run(tmp_path):
+    """``--spatial 2`` end-to-end on the 8-device mesh: 4 data replicas x
+    2-way H sharding through the GSPMD path (the production spatial axis,
+    cli/train.py).  The spatial path must force the unfused XLA sepconv
+    lowering — Pallas custom-calls are opaque to the SPMD partitioner."""
+    from deepcam_tpu.models import layers as layerlib
+
+    root = make_synthetic_dataset(
+        str(tmp_path / "data"), n_train=8, n_validation=4, shape=(32, 48)
+    )
+    outdir = str(tmp_path / "out")
+    args = build_parser().parse_args([
+        "--data_dir_prefix", root,
+        "--output_dir", outdir,
+        "--run_tag", "sp2",
+        "--local_batch_size", "1",
+        "--max_epochs", "1",
+        "--logging_frequency", "1",
+        "--validation_frequency", "2",
+        "--save_frequency", "100",
+        "--amp_opt_level", "O0",
+        "--target_iou", "2.0",
+        "--spatial", "2",
+    ])
+    try:
+        result = main(args)
+        assert layerlib.get_sepconv_impl() == "xla"
+    finally:
+        layerlib.set_sepconv_impl("auto")
+
+    # 8 train files / (1 sample/replica * 4 replicas) = 2 steps in 1 epoch
+    assert result["step"] == 2
+    assert result["epoch"] == 1
+    assert result["eval_iou"] is not None
+    assert 0.0 <= result["eval_iou"] <= 1.0
+
+    records = parse_mllog(os.path.join(outdir, "logs", "sp2.log"))
+    by_key = {}
+    for r in records:
+        by_key.setdefault(r["key"], []).append(r)
+    # batch sizes are per data REPLICA: 4 replicas x 1 sample
+    assert by_key["global_batch_size"][0]["value"] == 4
+    assert by_key["run_stop"][0]["metadata"]["status"] == "success"
+
+
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path):
     root = make_synthetic_dataset(
         str(tmp_path / "data"), n_train=8, n_validation=8, shape=(32, 48)
