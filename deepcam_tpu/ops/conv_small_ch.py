@@ -77,7 +77,6 @@ def _fwd(x, kernel, stride):
 def _bwd(stride, res, g):
     x, kernel = res
     n, h, w, ci = x.shape
-    co = kernel.shape[-1]
     # dgrad: transposed conv — spatially flipped kernel with in/out swapped
     kt = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)  # (3,3,co,ci)
     if stride == 1:

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from deepcam_tpu.ops.conv_small_ch import _S2D_SEL, _s2d
+from deepcam_tpu.ops.conv_small_ch import _S2D_SEL, _s2d, _s2d_inv
 
 
 def _dilated_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -89,18 +89,15 @@ def _d2s_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """Same map as ``_dilated_fwd`` via ONE dense 2x2/s1 conv emitting all
     four output phases as 4F channels + depth-to-space (full MXU density; the
     phase/derivation comments live on ``ConvTranspose2d._d2s_k3s2``)."""
-    n, h, w, c = x.shape
     f = kernel.shape[-1]
     y4 = _block_conv_fwd(x, kernel)
-    y = y4.reshape(n, h, w, 2, 2, f).transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, 2 * h, 2 * w, f)
+    return _s2d_inv(y4, f)
 
 
 def _polyphase_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """Same map via 4 dense phase convs + pixel shuffle — exactly the useful
     9·H·W·C·F MACs (no zero slots), no lhs_dilation anywhere (derivation on
     ``ConvTranspose2d._polyphase_k3s2``)."""
-    n, h, w, c = x.shape
     f = kernel.shape[-1]
     kf = jnp.flip(kernel, axis=(0, 1))
 
@@ -114,9 +111,8 @@ def _polyphase_fwd(x: jax.Array, kernel: jax.Array) -> jax.Array:
     y01 = phase_conv(kf[1:2, 0::2], (0, 0), (0, 1))
     y10 = phase_conv(kf[0::2, 1:2], (0, 1), (0, 0))
     y11 = phase_conv(kf[0::2, 0::2], (0, 1), (0, 1))
-    y = jnp.stack([y00, y01, y10, y11], axis=-2)  # (N, H, W, 4, F)
-    y = y.reshape(n, h, w, 2, 2, f).transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, 2 * h, 2 * w, f)
+    y4 = jnp.concatenate([y00, y01, y10, y11], axis=-1)  # (ph, pw, F) lanes
+    return _s2d_inv(y4, f)
 
 
 _FWD_IMPLS = {"dilated": _dilated_fwd, "d2s": _d2s_fwd,

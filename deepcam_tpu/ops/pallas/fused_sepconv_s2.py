@@ -352,11 +352,13 @@ def _phases(x):
 
 
 def _interleave(d00, d01, d10, d11):
-    """Four (N, H2, W2, C) phase grads → (N, 2·H2, 2·W2, C)."""
-    n, h2, w2, c = d00.shape
-    z = jnp.stack([d00, d01, d10, d11], axis=3)  # (N, H2, W2, 4, C)
-    z = z.reshape(n, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    return z.reshape(n, 2 * h2, 2 * w2, c)
+    """Four (N, H2, W2, C) phase grads → (N, 2·H2, 2·W2, C) — the inverse
+    space-to-depth with the canonical (ph, pw, C) channel order."""
+    from ..conv_small_ch import _s2d_inv
+
+    return _s2d_inv(
+        jnp.concatenate([d00, d01, d10, d11], axis=-1), d00.shape[-1]
+    )
 
 
 # ---------------------------------------------------------------------------
