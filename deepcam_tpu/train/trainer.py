@@ -55,6 +55,19 @@ def create_train_state(model, variables, tx) -> TrainState:
     )
 
 
+def _block_labels(logits, y):
+    """Match the labels to the logits' block layout: batched logits
+    (N, H/f, W/f, f², C) pair with ``space_to_blocks(y, f)`` — the model
+    may emit factor-2 (one block stage) or factor-4 (block-space decoder
+    tail) layouts.  Full-res logits pass ``y`` through unchanged."""
+    from ..ops.deconv import space_to_blocks
+
+    if logits.ndim == y.ndim + 1:
+        return y
+    factor = {4: 2, 16: 4}[logits.shape[3]]
+    return space_to_blocks(y, factor)
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -102,18 +115,6 @@ def make_train_step(
             _apply,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
-
-    def _block_labels(logits, y):
-        """Match the labels to the logits' block layout: logits
-        (N, H/f, W/f, f², C) pair with ``space_to_blocks(y, f)`` — the
-        model may emit factor-2 (one block stage) or factor-4 (block-space
-        decoder tail) layouts."""
-        from ..ops.deconv import space_to_blocks
-
-        if logits.ndim == y.ndim + 1:
-            return y
-        factor = {4: 2, 16: 4}[logits.shape[3]]
-        return space_to_blocks(y, factor)
 
     def loss_fn(params, batch_stats, x, y):
         logits, updates = apply_fn(params, batch_stats, x)
@@ -177,19 +178,34 @@ def make_eval_step(
     mask so fixed-shape padded batches count each real sample exactly once.
     """
 
+    # Block-space eval (follows DEEPCAM_BLOCK_LOSS, default ON;
+    # DEEPCAM_BLOCK_EVAL overrides independently): the per-sample loss
+    # mean and per-sample IoU are pixel-order-invariant, so validation can
+    # consume block-space logits too and skip the full-res logits
+    # materialization whose tiny class dim poisons the decoder layouts
+    # (same ~14 ms/step reformat pathology the train step avoids).
+    # Visualization keeps its own full-res forward (obs/visualizer.py).
+    import os
+
+    block_eval = os.environ.get(
+        "DEEPCAM_BLOCK_EVAL", os.environ.get("DEEPCAM_BLOCK_LOSS", "1")
+    ) == "1"
+
     def local_eval(params, batch_stats, x, y, valid):
         logits = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False
+            {"params": params, "batch_stats": batch_stats}, x, train=False,
+            block_logits=block_eval,
         )
         n_classes = logits.shape[-1]
+        yb = _block_labels(logits, y)
 
         # per-sample pixel-mean weighted CE (batch-1 loss semantics)
         def sample_loss(lg, lb):
             return weighted_ce_loss(lg, lb, class_weights, fpw_1, fpw_2)
 
-        losses = jax.vmap(sample_loss)(logits, y)
+        losses = jax.vmap(sample_loss)(logits, yb)
         preds = argmax_channels(logits)
-        ious = per_sample_iou(preds, y, n_classes)
+        ious = per_sample_iou(preds, yb, n_classes)
 
         v = valid.astype(jnp.float32)
         # psum over 'data' ONLY: the in_specs shard the batch over 'data'

@@ -171,3 +171,29 @@ def test_block_loss_matches_fullres(setup, monkeypatch, tail):
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
         s_b.params, s_f.params,
     )
+
+
+@pytest.mark.parametrize("tail", ["0", "1"])
+def test_block_eval_matches_fullres(setup, monkeypatch, tail):
+    """DEEPCAM_BLOCK_EVAL on vs off (and with the factor-4 block-space
+    decoder tail): identical count/loss/IoU up to fp summation order —
+    per-sample loss means and per-sample IoUs are pixel-order-invariant."""
+    model, tx, fresh_state, mesh = setup
+    w = list(class_weights())
+    x, y = _batch(8, key=11)
+    valid = jnp.asarray(np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32))
+
+    def run(flag):
+        monkeypatch.setenv("DEEPCAM_BLOCK_EVAL", flag)
+        monkeypatch.setenv("DEEPCAM_TAIL_BLOCKS", tail if flag == "1"
+                           else "0")
+        eval_fn = make_eval_step(model, w, mesh)
+        st = jax.device_put(fresh_state(), meshlib.replicated(mesh))
+        count, loss_sum, iou_sum = eval_fn(st, x, y, valid)
+        return float(count), float(loss_sum), float(iou_sum)
+
+    c_b, l_b, i_b = run("1")
+    c_f, l_f, i_f = run("0")
+    assert c_b == c_f == 6.0
+    np.testing.assert_allclose(l_b, l_f, rtol=1e-5)
+    np.testing.assert_allclose(i_b, i_f, rtol=1e-5)
