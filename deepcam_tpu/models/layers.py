@@ -246,19 +246,28 @@ class Conv2d(nn.Module):
             and _to_pair(self.dilation) == (rate, rate)
             and rate > 1
             and self.padding == rate
-            and os.environ.get("DEEPCAM_ATROUS", "0") == "1"
+            and os.environ.get("DEEPCAM_ATROUS", "0") in ("1", "s2b")
         ):
             # ASPP branches: XLA's rhs_dilation schedule runs ~8x off peak
-            # at (48, 72); the shift-decomposed form is nine MXU-dense taps
-            # with a matching custom VJP (ops/atrous.py).  Measured r2: the
-            # taps re-read the 2048-lane input 9x and LOSE end-to-end
-            # (fwd 2.4→2.8 ms, bwd 2.9→3.7 ms per branch; whole-model
-            # 0.978x) — XLA's windowed reuse wins at these channel counts.
-            # Kept opt-in for lane-starved future uses.
-            from ..ops.atrous import conv3x3_atrous
+            # at (48, 72).  Two re-expressions (ops/atrous.py), both opt-in
+            # pending/after TPU A/B:
+            # * DEEPCAM_ATROUS=1 — nine shift-decomposed MXU-dense taps
+            #   with a custom VJP.  Measured r2: the taps re-read the
+            #   2048-lane input 9x and LOSE end-to-end (fwd 2.4→2.8 ms,
+            #   bwd 2.9→3.7 ms per branch; whole-model 0.978x).
+            # * DEEPCAM_ATROUS=s2b — space-to-batch: ONE dense 3x3 SAME
+            #   conv over phase-major blocks (full windowed reuse, no
+            #   dilation anywhere; backward is the dense conv's own VJP).
+            if os.environ["DEEPCAM_ATROUS"] == "s2b":
+                from ..ops.atrous import conv3x3_atrous_s2b
 
-            y = conv3x3_atrous(
-                x.astype(self.dtype), kernel.astype(self.dtype), rate)
+                y = conv3x3_atrous_s2b(
+                    x.astype(self.dtype), kernel.astype(self.dtype), rate)
+            else:
+                from ..ops.atrous import conv3x3_atrous
+
+                y = conv3x3_atrous(
+                    x.astype(self.dtype), kernel.astype(self.dtype), rate)
         else:
             y = conv2d(
                 x,

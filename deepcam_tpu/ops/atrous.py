@@ -88,3 +88,43 @@ def _bwd(rate, res, g):
 
 
 conv3x3_atrous.defvjp(_fwd, _bwd)
+
+
+def conv3x3_atrous_s2b(x: jax.Array, kernel: jax.Array, rate: int) -> jax.Array:
+    """Space-to-batch form of the dilation-``rate`` 3x3 'same' conv.
+
+    ``y = b2s(conv3x3_same(s2b(x)))``: position ``u = rate·ub + p`` of the
+    dilated conv taps ``x[u + rate·i] = (phase p, block ub+i)`` — i.e. each
+    of the ``rate²`` phase grids is independently convolved by a *dense*
+    stride-1 3x3 SAME conv over its block coordinates.  One conv with full
+    windowed input reuse replaces the rhs_dilation schedule (measured ~8x
+    off peak at (48, 72)) and the nine-tap shift form (which re-reads the
+    2048-lane input 9x).  H/W not divisible by ``rate`` are zero-padded on
+    the high side (zeros match the dilated conv's out-of-range taps) and
+    the output is cropped.  Backward is XLA autodiff: the adjoint of a
+    dense SAME conv is another dense SAME conv, and the s2b/b2s reshapes
+    transpose to themselves.
+
+    Parity target: the ASPP branches at ``deeplab_xception.py:282-312``
+    (rates 6/12/18).
+    """
+    n, h, w, c = x.shape
+    f = kernel.shape[-1]
+    r = rate
+    ph, pw = (-h) % r, (-w) % r
+    xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hh, ww = h + ph, w + pw
+    hb, wb = hh // r, ww // r
+    # phase-major batch: (r·r·n, hb, wb, c) — phases vary fastest over the
+    # leading axis so the inverse is the mirrored transpose
+    z = xp.reshape(n, hb, r, wb, r, c)
+    z = z.transpose(2, 4, 0, 1, 3, 5).reshape(r * r * n, hb, wb, c)
+    y = lax.conv_general_dilated(
+        z, kernel,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y.reshape(r, r, n, hb, wb, f).transpose(2, 3, 0, 4, 1, 5)
+    y = y.reshape(n, hh, ww, f)
+    return y[:, :h, :w, :] if (ph or pw) else y

@@ -21,6 +21,7 @@ CONFIGS = [
     ("bn_onepass", {"DEEPCAM_BN_ONEPASS": "1"}),
     ("split_concat", {"DEEPCAM_SPLIT_CONCAT": "1"}),
     ("fused_s2", {"DEEPCAM_FUSED_S2": "1"}),
+    ("atrous_s2b", {"DEEPCAM_ATROUS": "s2b"}),
     # Batch-scaling arm: remat trades recompute for HBM so batch 6/8 fit
     # (b8 OOM'd at 16.7 vs 15.75 GB without remat, PERF.md).
     ("b6_remat", {"BENCH_LOCAL_BATCH": "6", "BENCH_REMAT": "1"}),
