@@ -11,23 +11,25 @@ import os
 import subprocess
 import sys
 
+# Ordered by expected value: if wall-clock cuts the run, the tail configs
+# are the ones we can afford to lose.
 CONFIGS = [
     ("defaults", {}),
+    ("fused_s2", {"DEEPCAM_FUSED_S2": "1"}),
     ("nopad", {"DEEPCAM_FUSED_NOPAD": "1"}),
+    ("split_concat", {"DEEPCAM_SPLIT_CONCAT": "1"}),
     ("tail_blocks", {"DEEPCAM_TAIL_BLOCKS": "1"}),
+    # b6 OOM'd by only 37 MB at defaults (PERF.md W-halo note); nopad drops
+    # the H-padded operand copies, which may be enough without remat.
+    ("b6_nopad", {"BENCH_LOCAL_BATCH": "6", "DEEPCAM_FUSED_NOPAD": "1"}),
     ("nopad+tail", {"DEEPCAM_FUSED_NOPAD": "1", "DEEPCAM_TAIL_BLOCKS": "1"}),
     ("nopad+inkernel", {"DEEPCAM_FUSED_NOPAD": "1",
                         "DEEPCAM_STATS_INKERNEL": "1"}),
     ("bn_onepass", {"DEEPCAM_BN_ONEPASS": "1"}),
-    ("split_concat", {"DEEPCAM_SPLIT_CONCAT": "1"}),
-    ("fused_s2", {"DEEPCAM_FUSED_S2": "1"}),
     ("atrous_s2b", {"DEEPCAM_ATROUS": "s2b"}),
     # Batch-scaling arm: remat trades recompute for HBM so batch 6/8 fit
     # (b8 OOM'd at 16.7 vs 15.75 GB without remat, PERF.md).
     ("b6_remat", {"BENCH_LOCAL_BATCH": "6", "BENCH_REMAT": "1"}),
-    # b6 OOM'd by only 37 MB at defaults (PERF.md W-halo note); nopad drops
-    # the H-padded operand copies, which may be enough without remat.
-    ("b6_nopad", {"BENCH_LOCAL_BATCH": "6", "DEEPCAM_FUSED_NOPAD": "1"}),
     ("b8_remat", {"BENCH_LOCAL_BATCH": "8", "BENCH_REMAT": "1"}),
 ]
 
