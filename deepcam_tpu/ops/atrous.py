@@ -19,8 +19,10 @@ The custom VJP reuses the same structure:
               rot180(K) and I/O swapped)
     dK[i,j] = einsum(x_tap(i,j), g)   (fp32 products/accumulation)
 
-Gated by ``DEEPCAM_ATROUS`` (default on); ``Conv2d`` routes stride-1
-3x3 convs with padding == dilation > 1 here.
+Gated by ``DEEPCAM_ATROUS`` (default OFF — the whole-model A/B measured
+0.978x, see PERF.md; ``=1`` selects the nine-tap form, ``=s2b`` the
+space-to-batch form); ``Conv2d`` routes stride-1 3x3 convs with
+padding == dilation > 1 here when the gate is set.
 """
 
 from __future__ import annotations

@@ -199,12 +199,13 @@ def _fix_window(ht, hi, nh, d):
 
 
 def _use_nopad() -> bool:
-    """Unpadded operands with clamped windows — opt-in
-    (DEEPCAM_FUSED_NOPAD=1) until the TPU A/B lands; CPU-interpret parity
-    is covered by tests/test_fused_sepconv.py::TestNopadWindows."""
+    """Unpadded operands with clamped windows — default ON (measured
+    whole-model win on v5e: 22.73 -> 23.11 samples/s/chip, r2 A/B queue);
+    DEEPCAM_FUSED_NOPAD=0 opts out.  CPU-interpret parity is covered by
+    tests/test_fused_sepconv.py::TestNopadWindows."""
     import os
 
-    return os.environ.get("DEEPCAM_FUSED_NOPAD", "0") == "1"
+    return os.environ.get("DEEPCAM_FUSED_NOPAD", "1") == "1"
 
 
 def _nopad_ok(h, w, c, f, d) -> bool:
