@@ -44,7 +44,10 @@ step_fn = make_train_step(
     model, tx, list(class_weights()), mesh, fpw_1=FPW_1, fpw_2=FPW_2)
 
 rng = np.random.RandomState(0)
-x = jnp.asarray(rng.rand(BATCH, 768, 1152, 16).astype(np.float32))
+# host-cast bf16 feed exactly like bench.py / the production input path —
+# keeps the traced graph identical to (and compile-cached with) bench's
+x = jnp.asarray(rng.rand(BATCH, 768, 1152, 16).astype(np.float32),
+                jnp.bfloat16)
 y = jnp.asarray(rng.randint(0, 3, size=(BATCH, 768, 1152)).astype(np.int32))
 x = jax.device_put(x, meshlib.batch_sharding(mesh))
 y = jax.device_put(y, meshlib.batch_sharding(mesh))
