@@ -773,12 +773,20 @@ class SeparableConv2dSame(nn.Module):
             and not self.pre_relu
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
-            and os.environ.get("DEEPCAM_FUSED_S2", "0") == "1"
+            and os.environ.get("DEEPCAM_FUSED_S2", "0") in ("1", "2")
         ):
-            from ..ops.pallas.fused_sepconv_s2 import (
-                fused_sepconv_s2,
-                fused_sepconv_s2_affine,
-            )
+            # "1" = v1 (XLA-side phase split/interleave glue); "2" = v2
+            # (in-kernel phase split over the full-res operand — no glue)
+            if os.environ.get("DEEPCAM_FUSED_S2") == "2" and x.shape[1] >= 8:
+                from ..ops.pallas.fused_sepconv_s2 import (
+                    fused_sepconv_s2_v2 as fused_sepconv_s2,
+                    fused_sepconv_s2_affine_v2 as fused_sepconv_s2_affine,
+                )
+            else:
+                from ..ops.pallas.fused_sepconv_s2 import (
+                    fused_sepconv_s2,
+                    fused_sepconv_s2_affine,
+                )
 
             dwk = _KernelParam(
                 (3, 3, 1, in_ch), self.kernel_init, self.param_dtype,

@@ -337,6 +337,386 @@ def _bwd_pallas_s2(x00, x01, x10p, x11p, gp, dwk, pwk_t, *, ab=None,
 
 
 # ---------------------------------------------------------------------------
+# v2: in-kernel phase split over the FULL-RES operand
+# ---------------------------------------------------------------------------
+#
+# v1 wins 1.62-1.75x standalone at every tail shape but loses whole-model
+# (0.976x): its XLA-side glue — ``_phases`` (four strided slices + two pads
+# of the full-res input per call) and ``_interleave`` (a transpose) on dx —
+# costs more than the kernel saves (r2 A/B, PERF.md).  v2 removes the glue:
+# the kernel reads the full-res operand directly through a clamped
+# overlapping ``pl.Element`` window of 2·th+1 rows (ideal start 2·r0−1; only
+# the FIRST tile clamps — the stride-2 geometry makes the last tile exact)
+# and splits phases in VMEM with row/sublane strided selects; dx writes a
+# full-res (2·th)-row tile directly (stack+reshape interleave in VMEM), so
+# no XLA-side transpose or pad touches full resolution at all.  The
+# half-res cotangent is likewise read unpadded through a (th+1)-row window
+# whose LAST tile clamps (bottom halo).
+
+
+def _pick_row_tile_s2v2(h2: int, w2: int, c: int, f: int) -> int:
+    """Half-res output rows per grid step: largest divisor of h2 (strictly
+    below h2 — the 2·th+1 full-res window must fit the unpadded extent)
+    whose estimated backward working set fits the VMEM budget."""
+    import os
+
+    cap = int(os.environ.get("DEEPCAM_FUSED_S2_TH", "16"))
+    budget = int(os.environ.get("DEEPCAM_FUSED_VMEM_MB", "96")) << 20
+    w = 2 * w2
+
+    def est_bytes(t: int) -> int:
+        cl = -(-c // 128) * 128
+        fl = -(-f // 128) * 128
+        f32, bf16 = 4, 2
+        return (
+            bf16 * 2 * (2 * t + 1) * w * cl      # x window double-buffered
+            + bf16 * 2 * (t + 1) * w2 * fl       # g window double-buffered
+            + f32 * (t + 1) * w2 * cl            # dd
+            + 4 * f32 * t * w2 * cl              # dx phase accumulators
+            + f32 * t * w2 * cl                  # live tap temporary
+            + f32 * cl * fl + bf16 * cl * fl     # dpw acc + pw^T
+            + bf16 * 2 * 2 * t * w * cl          # dx full-res out dbl-buf
+        )
+
+    best = 1
+    for t in range(1, min(cap, h2 - 1) + 1):
+        if h2 % t == 0 and est_bytes(t) <= budget:
+            best = t
+    return best
+
+
+def _x_window_spec_v2(th, h, w, c):
+    """(2·th+1)-row Element window over the UNPADDED full-res operand,
+    ideal start 2·hi·th − 1 clamped into bounds (only hi=0 clamps)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(2 * th + 1), pl.Element(w),
+         pl.Element(c)),
+        lambda ni, hi: (ni, jnp.clip(2 * hi * th - 1, 0, h - 2 * th - 1),
+                        0, 0),
+    )
+
+
+def _g_window_spec_v2(th, h2, w2, f):
+    """(th+1)-row Element window over the UNPADDED half-res cotangent,
+    ideal start hi·th clamped into bounds (only the last tile clamps)."""
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(th + 1), pl.Element(w2), pl.Element(f)),
+        lambda ni, hi: (ni, jnp.clip(hi * th, 0, h2 - th - 1), 0, 0),
+    )
+
+
+def _fix_x_v2(t, hi):
+    """hi=0's window starts at row 0 instead of −1: shift down one row and
+    zero the top (the x[−1] halo)."""
+    z = jnp.zeros_like(t[:1])
+    down = jnp.concatenate([z, t[:-1]], axis=0)
+    return jnp.where(hi == 0, down, t)
+
+
+def _fix_g_v2(t, hi, nh):
+    """The last tile's window starts one row early: shift up one row and
+    zero the bottom (the g[h2] halo)."""
+    z = jnp.zeros_like(t[:1])
+    up = jnp.concatenate([t[1:], z], axis=0)
+    return jnp.where(hi == nh - 1, up, t)
+
+
+def _wsplit(s):
+    """(rows, W, C) → the two column phases (rows, W/2, C): b=0 at even
+    columns, b=1 at odd (sublane-dim stride-2 selects)."""
+    return s[:, 0::2, :], s[:, 1::2, :]
+
+
+def _split_taps_v2(xt, th):
+    """Full-res window (2·th+1, W, C) → the v1 phase-tap tuple.  Logical
+    window row j holds x row 2·r0 + j − 1: even j are the a=1 phase rows
+    (with top halo), odd j the a=0 rows."""
+    ev = xt[0::2]  # (th+1, W, C): x rows 2r−1 / 2r+1  (≡ v1's haloed t1*)
+    od = xt[1::2]  # (th,   W, C): x rows 2r           (≡ v1's t0*)
+    o0, o1 = _wsplit(od)
+    e0, e1 = _wsplit(ev)
+    return o0, o1, e0, e1
+
+
+def _fwd_pallas_s2v2(x, dwk, pwk, *, ab=None, interpret: bool = False):
+    """x: UNPADDED (N, H, W, C), even H/W.  Returns (N, H/2, W/2, F)."""
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    f = pwk.shape[-1]
+    th = _pick_row_tile_s2v2(h2, w2, c, f)
+    affine = ab is not None
+
+    def kernel(*refs):
+        if affine:
+            x_ref, a_ref, b_ref, dwk_ref, pwk_ref, out_ref = refs
+        else:
+            x_ref, dwk_ref, pwk_ref, out_ref = refs
+        hi = pl.program_id(1)
+        xt = _fix_x_v2(x_ref[0], hi)
+        if affine:
+            xt = xt * a_ref[0] + b_ref[0]
+            # the x[−1] halo must be zero AFTER the affine (0·a + b ≠ 0)
+            r = lax.broadcasted_iota(jnp.int32, (xt.shape[0], 1, 1), 0)
+            xt = jnp.where(r + 2 * hi * th - 1 >= 0, xt,
+                           jnp.zeros((), xt.dtype))
+        o0, o1, e0, e1 = _split_taps_v2(xt, th)
+        k32 = dwk_ref[...].astype(jnp.float32)
+
+        def f32(t):
+            return t.astype(jnp.float32)
+
+        acc = (
+            f32(o0) * k32[1, 1]
+            + f32(o1) * k32[1, 2]
+            + f32(_shift_w(o1, -1)) * k32[1, 0]
+            + f32(e0[:th]) * k32[0, 1]
+            + f32(e0[1:]) * k32[2, 1]
+            + f32(e1[:th]) * k32[0, 2]
+            + f32(_shift_w(e1[:th], -1)) * k32[0, 0]
+            + f32(e1[1:]) * k32[2, 2]
+            + f32(_shift_w(e1[1:], -1)) * k32[2, 0]
+        )
+        d = acc.astype(x.dtype).reshape(th * w2, c)
+        y = jnp.dot(d, pwk_ref[...], preferred_element_type=jnp.float32)
+        out_ref[0] = y.astype(out_ref.dtype).reshape(th, w2, f)
+
+    vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
+    in_specs = [_x_window_spec_v2(th, h, w, c)]
+    operands = [x]
+    if affine:
+        in_specs += [vec_spec, vec_spec]
+        operands += [ab[0], ab[1]]
+    in_specs += [
+        pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+        pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
+    ]
+    operands += [dwk, pwk]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h2 // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, w2, f), lambda ni, hi: (ni, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h2, w2, f), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
+    """x: UNPADDED (N, H, W, C); g: UNPADDED (N, H/2, W/2, F).  Returns
+    dx (N, H, W, C) in x dtype (written full-res, no interleave), d_dw
+    (3,3,C) fp32, d_pw (C,F) fp32 [, da, db]."""
+    n, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    f = pwk_t.shape[0]
+    th = _pick_row_tile_s2v2(h2, w2, c, f)
+    nh = h2 // th
+    affine = ab is not None
+
+    def kernel(*refs):
+        idx = 2
+        x_ref, g_ref = refs[:2]
+        if affine:
+            a_ref, b_ref = refs[idx:idx + 2]
+            idx += 2
+        dwk_ref, pwt_ref = refs[idx:idx + 2]
+        outs = refs[idx + 2:]
+        if affine:
+            dx_ref, ddw_ref, dpw_ref, da_ref, db_ref = outs
+        else:
+            dx_ref, ddw_ref, dpw_ref = outs
+        ni = pl.program_id(0)
+        hi = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(ni == 0, hi == 0))
+        def _():
+            ddw_ref[...] = jnp.zeros_like(ddw_ref)
+            dpw_ref[...] = jnp.zeros_like(dpw_ref)
+            if affine:
+                da_ref[...] = jnp.zeros_like(da_ref)
+                db_ref[...] = jnp.zeros_like(db_ref)
+
+        xt = _fix_x_v2(x_ref[0], hi)
+        o0r, o1r, e0r, e1r = _split_taps_v2(xt, th)
+        if affine:
+            ut = xt * a_ref[0] + b_ref[0]
+            r = lax.broadcasted_iota(jnp.int32, (ut.shape[0], 1, 1), 0)
+            ut = jnp.where(r + 2 * hi * th - 1 >= 0, ut,
+                           jnp.zeros((), ut.dtype))
+            ho0, ho1, he0, he1 = _split_taps_v2(ut, th)
+        else:
+            ho0, ho1, he0, he1 = o0r, o1r, e0r, e1r
+
+        gt = _fix_g_v2(g_ref[0], hi, nh)  # (th+1, W2, F); last row = halo
+        dd = jnp.dot(
+            gt.reshape((th + 1) * w2, f), pwt_ref[...],
+            preferred_element_type=jnp.float32,
+        ).reshape(th + 1, w2, c)
+        ddc = dd[:th]
+        ddn = dd[1:]
+        ddc_s = _shift_w(ddc, 1)
+        ddn_s = _shift_w(ddn, 1)
+        k32 = dwk_ref[...].astype(jnp.float32)
+
+        dx00 = ddc * k32[1, 1]
+        dx01 = ddc_s * k32[1, 0] + ddc * k32[1, 2]
+        dx10 = ddn * k32[0, 1] + ddc * k32[2, 1]
+        dx11 = (ddn_s * k32[0, 0] + ddn * k32[0, 2]
+                + ddc_s * k32[2, 0] + ddc * k32[2, 2])
+
+        if affine:
+            x_c = (o0r.astype(jnp.float32), o1r.astype(jnp.float32),
+                   e0r[1:].astype(jnp.float32), e1r[1:].astype(jnp.float32))
+            da_ref[...] += sum(
+                jnp.sum(dx * xc, axis=(0, 1))
+                for dx, xc in zip((dx00, dx01, dx10, dx11), x_c)
+            )[None, :]
+            db_ref[...] += sum(
+                jnp.sum(dx, axis=(0, 1))
+                for dx in (dx00, dx01, dx10, dx11)
+            )[None, :]
+            a32 = a_ref[0].astype(jnp.float32)
+            dx00, dx01 = dx00 * a32, dx01 * a32
+            dx10, dx11 = dx10 * a32, dx11 * a32
+
+        # interleave the four phase grads into the full-res tile in VMEM:
+        # rows 2rr from (dx00, dx01), rows 2rr+1 from (dx10, dx11)
+        dt = dx_ref.dtype
+        row_e = jnp.stack([dx00.astype(dt), dx01.astype(dt)],
+                          axis=2).reshape(th, w, c)
+        row_o = jnp.stack([dx10.astype(dt), dx11.astype(dt)],
+                          axis=2).reshape(th, w, c)
+        dx_ref[0] = jnp.stack([row_e, row_o], axis=1).reshape(2 * th, w, c)
+
+        # depthwise wgrad: the nine forward taps against dd center rows
+        def f32(t):
+            return t.astype(jnp.float32)
+
+        taps = (
+            ((0, 0), _shift_w(he1[:th], -1)), ((0, 1), he0[:th]),
+            ((0, 2), he1[:th]),
+            ((1, 0), _shift_w(ho1, -1)), ((1, 1), ho0), ((1, 2), ho1),
+            ((2, 0), _shift_w(he1[1:], -1)), ((2, 1), he0[1:]),
+            ((2, 2), he1[1:]),
+        )
+        for (i, j), tap in taps:
+            ddw_ref[i, j, :] += jnp.sum(f32(tap) * ddc, axis=(0, 1))
+
+        # pointwise wgrad: recompute d (rounded exactly as the forward)
+        acc = (
+            f32(ho0) * k32[1, 1]
+            + f32(ho1) * k32[1, 2]
+            + f32(_shift_w(ho1, -1)) * k32[1, 0]
+            + f32(he0[:th]) * k32[0, 1]
+            + f32(he0[1:]) * k32[2, 1]
+            + f32(he1[:th]) * k32[0, 2]
+            + f32(_shift_w(he1[:th], -1)) * k32[0, 0]
+            + f32(he1[1:]) * k32[2, 2]
+            + f32(_shift_w(he1[1:], -1)) * k32[2, 0]
+        )
+        d = acc.astype(x.dtype).reshape(th * w2, c)
+        dpw_ref[...] += lax.dot_general(
+            d, gt[:th].reshape(th * w2, f),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    vec_spec = pl.BlockSpec((1, c), lambda ni, hi: (0, 0))
+    in_specs = [
+        _x_window_spec_v2(th, h, w, c),
+        _g_window_spec_v2(th, h2, w2, f),
+    ]
+    operands = [x, g]
+    if affine:
+        in_specs += [vec_spec, vec_spec]
+        operands += [ab[0], ab[1]]
+    in_specs += [
+        pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+        pl.BlockSpec((f, c), lambda ni, hi: (0, 0)),
+    ]
+    operands += [dwk, pwk_t]
+
+    out_specs = [
+        pl.BlockSpec((1, 2 * th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
+        pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
+        pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        jax.ShapeDtypeStruct((3, 3, c), jnp.float32),
+        jax.ShapeDtypeStruct((c, f), jnp.float32),
+    ]
+    if affine:
+        out_specs += [vec_spec, vec_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, nh),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_sepconv_s2_v2(x, dwk, pwk, interpret: bool = False):
+    """v2 of ``fused_sepconv_s2``: identical math (bit-exact forward, same
+    fp32 tap order), zero XLA-side glue.  Select with DEEPCAM_FUSED_S2=2."""
+    return _fwd_pallas_s2v2(x, dwk, pwk, interpret=interpret)
+
+
+def _fs2v2_fwd(x, dwk, pwk, interpret):
+    y = _fwd_pallas_s2v2(x, dwk, pwk, interpret=interpret)
+    return y, (x, dwk, pwk)
+
+
+def _fs2v2_bwd(interpret, res, g):
+    x, dwk, pwk = res
+    dx, ddw, dpw = _bwd_pallas_s2v2(
+        x, g.astype(x.dtype), dwk, pwk.T, interpret=interpret)
+    return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
+
+
+fused_sepconv_s2_v2.defvjp(_fs2v2_fwd, _fs2v2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_sepconv_s2_affine_v2(x, a, b, dwk, pwk, interpret: bool = False):
+    """v2 of ``fused_sepconv_s2_affine`` (in-kernel phase split)."""
+    ab = (a.reshape(1, -1), b.reshape(1, -1))
+    return _fwd_pallas_s2v2(x, dwk, pwk, ab=ab, interpret=interpret)
+
+
+def _fs2av2_fwd(x, a, b, dwk, pwk, interpret):
+    ab = (a.reshape(1, -1), b.reshape(1, -1))
+    y = _fwd_pallas_s2v2(x, dwk, pwk, ab=ab, interpret=interpret)
+    return y, (x, a, b, dwk, pwk)
+
+
+def _fs2av2_bwd(interpret, res, g):
+    x, a, b, dwk, pwk = res
+    ab = (a.reshape(1, -1), b.reshape(1, -1))
+    dx, ddw, dpw, da, db = _bwd_pallas_s2v2(
+        x, g.astype(x.dtype), dwk, pwk.T, ab=ab, interpret=interpret)
+    return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
+            ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
+
+
+fused_sepconv_s2_affine_v2.defvjp(_fs2av2_fwd, _fs2av2_bwd)
+
+
+# ---------------------------------------------------------------------------
 # phase split / merge (XLA side — transposes, never scatters)
 # ---------------------------------------------------------------------------
 

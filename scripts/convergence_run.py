@@ -1,0 +1,65 @@
+"""Reproducible synthetic convergence run (the reference's acceptance
+criterion: eval IoU >= --target_iou fires ``target_accuracy_reached`` and
+stops training, /root/reference/src/deepCam/train_hdf5_ddp.py:505-507,573).
+
+Round-2 committed a 96-step run reaching IoU 0.61 (analysis/convergence_r2.log)
+from an uncommitted recipe; this script IS the recipe, extended to a longer
+horizon that exercises LAMB + warmup PAST a multistep milestone before the
+target fires.
+
+Runs on the 8-device virtual CPU mesh (no TPU needed):
+
+    python -u scripts/convergence_run.py [outdir]
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # the axon sitecustomize ignores env
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deepcam_tpu.cli.train import build_parser, main  # noqa: E402
+from deepcam_tpu.data.synthetic import make_synthetic_dataset  # noqa: E402
+
+
+def run(outdir: str) -> dict:
+    root = make_synthetic_dataset(
+        os.path.join(outdir, "data"),
+        n_train=256, n_validation=24, shape=(64, 96), seed=0, signal=2.0,
+    )
+    args = build_parser().parse_args([
+        "--data_dir_prefix", root,
+        "--output_dir", os.path.join(outdir, "out"),
+        "--run_tag", "convergence_r3",
+        "--local_batch_size", "1",            # x8 devices = global batch 8
+        "--max_epochs", "10",                  # 320-step horizon cap
+        "--logging_frequency", "8",
+        "--validation_frequency", "32",
+        "--save_frequency", "10000",           # convergence run: no ckpt cost
+        "--amp_opt_level", "O1",
+        "--optimizer", "LAMB",
+        "--start_lr", "0.002",
+        "--adam_eps", "1e-8",
+        "--weight_decay", "0.01",
+        "--lr_warmup_steps", "32",
+        "--lr_warmup_factor", "2.0",
+        # milestone INSIDE the horizon so the decay is exercised pre-target
+        "--lr_schedule", "type=multistep,milestones=128,decay_rate=0.5",
+        "--target_iou", "0.72",
+        "--seed", "333",
+    ])
+    return main(args)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_r3"
+    result = run(out)
+    print("RESULT", result, flush=True)

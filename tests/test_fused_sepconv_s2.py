@@ -15,6 +15,8 @@ from deepcam_tpu.models.layers import conv2d
 from deepcam_tpu.ops.pallas.fused_sepconv_s2 import (
     fused_sepconv_s2,
     fused_sepconv_s2_affine,
+    fused_sepconv_s2_affine_v2,
+    fused_sepconv_s2_v2,
 )
 
 
@@ -210,3 +212,136 @@ def test_xception_block_with_fold_matches_xla(monkeypatch):
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), rtol=2e-3, atol=2e-3),
         g_f, g_x)
+
+
+# ---------------------------------------------------------------------------
+# v2: in-kernel phase split (no XLA-side glue)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,h,w,c,f", SHAPES)
+@pytest.mark.parametrize("affine", [False, True])
+def test_v2_forward_parity(n, h, w, c, f, affine):
+    rng = np.random.RandomState(hash((n, h, w, c, f, affine, 2)) % 2**31)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    dwk = jnp.asarray(rng.randn(3, 3, c) * 0.3, jnp.float32)
+    pwk = jnp.asarray(rng.randn(c, f) * 0.2, jnp.float32)
+    if affine:
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        y = fused_sepconv_s2_affine_v2(x, a, b, dwk, pwk, True)
+        y_ref = _ref(x, dwk, pwk, ab=(a, b))
+        y_v1 = fused_sepconv_s2_affine(x, a, b, dwk, pwk, True)
+    else:
+        y = fused_sepconv_s2_v2(x, dwk, pwk, True)
+        y_ref = _ref(x, dwk, pwk)
+        y_v1 = fused_sepconv_s2(x, dwk, pwk, True)
+    assert y.shape == (n, h // 2, w // 2, f)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    if affine:
+        # the affine FMA's mul+add may or may not contract to a fused
+        # multiply-add depending on how the backend compiles each kernel
+        # -> 1-ULP-scale noise vs v1; the tap-sum order itself is identical
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_v1),
+                                   rtol=1e-4, atol=1e-6)
+    else:
+        # same fp32 tap order as v1 -> bit-exact against it
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y_v1))
+
+
+@pytest.mark.parametrize("n,h,w,c,f", SHAPES[:3])
+@pytest.mark.parametrize("affine", [False, True])
+def test_v2_gradient_parity(n, h, w, c, f, affine):
+    rng = np.random.RandomState(hash((n, h, w, c, f, affine, 3)) % 2**31)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    dwk = jnp.asarray(rng.randn(3, 3, c) * 0.3, jnp.float32)
+    pwk = jnp.asarray(rng.randn(c, f) * 0.2, jnp.float32)
+    g = jnp.asarray(rng.randn(n, h // 2, w // 2, f), jnp.float32)
+
+    if affine:
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+
+        def f_fused(x, a, b, dwk, pwk):
+            return jnp.sum(
+                fused_sepconv_s2_affine_v2(x, a, b, dwk, pwk, True) * g)
+
+        def f_ref(x, a, b, dwk, pwk):
+            return jnp.sum(_ref(x, dwk, pwk, ab=(a, b)) * g)
+
+        grads = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk, pwk)
+        grads_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x, a, b, dwk,
+                                                             pwk)
+    else:
+        def f_fused(x, dwk, pwk):
+            return jnp.sum(fused_sepconv_s2_v2(x, dwk, pwk, True) * g)
+
+        def f_ref(x, dwk, pwk):
+            return jnp.sum(_ref(x, dwk, pwk) * g)
+
+        grads = jax.grad(f_fused, argnums=(0, 1, 2))(x, dwk, pwk)
+        grads_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, dwk, pwk)
+
+    for got, want in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_model_tail_v2_matches_xla(monkeypatch):
+    """DEEPCAM_FUSED_S2=2 routes the stride-2 tail through the v2 kernel
+    with matching output/gradients vs the unfused path."""
+    from deepcam_tpu.models.layers import SeparableConv2dSame, \
+        set_sepconv_impl
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 16, 24, 8), jnp.float32)
+    mod = SeparableConv2dSame(features=12, kernel_size=3, stride=2,
+                              dtype=jnp.float32)
+
+    def run(impl, flag):
+        monkeypatch.setenv("DEEPCAM_FUSED_S2", flag)
+        set_sepconv_impl(impl)
+        try:
+            v = mod.init(jax.random.PRNGKey(0), x)
+
+            def loss(p):
+                return jnp.sum(mod.apply({"params": p}, x) ** 2)
+
+            val, grads = jax.value_and_grad(loss)(v["params"])
+            return v, val, grads
+        finally:
+            set_sepconv_impl("auto")
+
+    v_f, val_f, g_f = run("fused", "2")
+    v_x, val_x, g_x = run("xla", "0")
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_array_equal(np.asarray(p),
+                                                   np.asarray(q)),
+        v_f["params"], v_x["params"])
+    np.testing.assert_allclose(float(val_f), float(val_x), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-4),
+        g_f, g_x)
+
+
+def test_v2_bf16_forward_matches_v1():
+    """bf16 (production dtype): v2 vs v1 within bf16 rounding of the
+    affine-FMA contraction noise (see test_v2_forward_parity)."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 16, 24, 16), jnp.bfloat16)
+    a = jnp.asarray(rng.rand(16) + 0.5, jnp.bfloat16)
+    b = jnp.asarray(rng.randn(16) * 0.1, jnp.bfloat16)
+    dwk = jnp.asarray(rng.randn(3, 3, 16) * 0.3, jnp.bfloat16)
+    pwk = jnp.asarray(rng.randn(16, 12) * 0.2, jnp.bfloat16)
+    y1 = fused_sepconv_s2_affine(x, a, b, dwk, pwk, True)
+    y2 = fused_sepconv_s2_affine_v2(x, a, b, dwk, pwk, True)
+    np.testing.assert_allclose(np.asarray(y1, np.float32),
+                               np.asarray(y2, np.float32),
+                               rtol=0.02, atol=0.02)
+    # the PLAIN (no-affine) kernels are bit-exact even in bf16
+    y1p = fused_sepconv_s2(x, dwk, pwk, True)
+    y2p = fused_sepconv_s2_v2(x, dwk, pwk, True)
+    np.testing.assert_array_equal(np.asarray(y1p, np.float32),
+                                  np.asarray(y2p, np.float32))
