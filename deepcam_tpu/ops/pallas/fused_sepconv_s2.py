@@ -670,10 +670,18 @@ def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_sepconv_s2_v2(x, dwk, pwk, interpret: bool = False):
-    """v2 of ``fused_sepconv_s2``: identical math (bit-exact forward, same
-    fp32 tap order), zero XLA-side glue.  Select with DEEPCAM_FUSED_S2=2."""
+def _fused_sepconv_s2_v2_impl(x, dwk, pwk, interpret: bool = False):
     return _fwd_pallas_s2v2(x, dwk, pwk, interpret=interpret)
+
+
+def fused_sepconv_s2_v2(x, dwk, pwk, interpret: bool = False):
+    """v2 of ``fused_sepconv_s2``: identical math (same fp32 tap order; bits
+    can differ ULP-scale when the row-tile pickers choose different th),
+    zero XLA-side glue.  Select with DEEPCAM_FUSED_S2=2.  H < 4 falls back
+    to v1 (the 2·th+1 window needs at least two half-res rows)."""
+    if x.shape[1] < 4:
+        return fused_sepconv_s2(x, dwk, pwk, interpret)
+    return _fused_sepconv_s2_v2_impl(x, dwk, pwk, interpret)
 
 
 def _fs2v2_fwd(x, dwk, pwk, interpret):
@@ -688,14 +696,22 @@ def _fs2v2_bwd(interpret, res, g):
     return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
 
 
-fused_sepconv_s2_v2.defvjp(_fs2v2_fwd, _fs2v2_bwd)
+_fused_sepconv_s2_v2_impl.defvjp(_fs2v2_fwd, _fs2v2_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_sepconv_s2_affine_v2(x, a, b, dwk, pwk, interpret: bool = False):
-    """v2 of ``fused_sepconv_s2_affine`` (in-kernel phase split)."""
+def _fused_sepconv_s2_affine_v2_impl(x, a, b, dwk, pwk,
+                                     interpret: bool = False):
     ab = (a.reshape(1, -1), b.reshape(1, -1))
     return _fwd_pallas_s2v2(x, dwk, pwk, ab=ab, interpret=interpret)
+
+
+def fused_sepconv_s2_affine_v2(x, a, b, dwk, pwk, interpret: bool = False):
+    """v2 of ``fused_sepconv_s2_affine`` (in-kernel phase split).  H < 4
+    falls back to v1."""
+    if x.shape[1] < 4:
+        return fused_sepconv_s2_affine(x, a, b, dwk, pwk, interpret)
+    return _fused_sepconv_s2_affine_v2_impl(x, a, b, dwk, pwk, interpret)
 
 
 def _fs2av2_fwd(x, a, b, dwk, pwk, interpret):
@@ -713,7 +729,7 @@ def _fs2av2_bwd(interpret, res, g):
             ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
 
 
-fused_sepconv_s2_affine_v2.defvjp(_fs2av2_fwd, _fs2av2_bwd)
+_fused_sepconv_s2_affine_v2_impl.defvjp(_fs2av2_fwd, _fs2av2_bwd)
 
 
 # ---------------------------------------------------------------------------

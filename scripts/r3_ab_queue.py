@@ -19,6 +19,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JOBS = [
     ("defaults", [sys.executable, "-u", "bench.py"], {}),
     ("step_trace", [sys.executable, "-u", "scripts/step_trace.py", "4"], {}),
+    ("fused_s2_v2", [sys.executable, "-u", "bench.py"],
+     {"DEEPCAM_FUSED_S2": "2"}),
     ("stats_inkernel", [sys.executable, "-u", "bench.py"],
      {"DEEPCAM_STATS_INKERNEL": "1"}),
     ("bn_onepass", [sys.executable, "-u", "bench.py"],
@@ -39,23 +41,28 @@ def main():
         try:
             out = subprocess.run(argv, env=e, capture_output=True, text=True,
                                  timeout=5400, cwd=ROOT)
-            if name == "step_trace":
-                print(f"=== TRACE ===\n{out.stdout}\n=== /TRACE ===",
-                      flush=True)
-                if out.returncode != 0:
-                    print(out.stderr[-3000:], file=sys.stderr, flush=True)
-                continue
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith('{"metric"')]
-            val = json.loads(line[-1])["value"] if line else None
-            results[name] = val
-            print(f"AB {name}: {val}", flush=True)
-            if val is None:
-                print(out.stdout[-2000:], file=sys.stderr)
-                print(out.stderr[-2000:], file=sys.stderr, flush=True)
         except subprocess.TimeoutExpired:
+            # subprocess.run has already killed the child — the relay may now
+            # be wedged, so every subsequent result would be untrustworthy.
+            # Abort the rest of the queue instead of reporting garbage.
             results[name] = "timeout"
-            print(f"AB {name}: TIMEOUT", flush=True)
+            print(f"AB {name}: TIMEOUT — aborting remaining queue "
+                  f"(relay state suspect after a killed TPU client)",
+                  flush=True)
+            break
+        if name == "step_trace":
+            print(f"=== TRACE ===\n{out.stdout}\n=== /TRACE ===", flush=True)
+            if out.returncode != 0:
+                print(out.stderr[-3000:], file=sys.stderr, flush=True)
+            continue
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith('{"metric"')]
+        val = json.loads(line[-1])["value"] if line else None
+        results[name] = val
+        print(f"AB {name}: {val}", flush=True)
+        if val is None:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr, flush=True)
     print("AB_SUMMARY", json.dumps(results), flush=True)
 
 

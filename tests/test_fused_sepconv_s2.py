@@ -246,8 +246,11 @@ def test_v2_forward_parity(n, h, w, c, f, affine):
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_v1),
                                    rtol=1e-4, atol=1e-6)
     else:
-        # same fp32 tap order as v1 -> bit-exact against it
-        np.testing.assert_array_equal(np.asarray(y), np.asarray(y_v1))
+        # same fp32 tap ORDER as v1, but on multi-tile shapes the row-tile
+        # pickers may choose different th (v2 caps at h2-1, v1 allows h2),
+        # changing dot accumulation grouping -> ULP-scale noise, not bits
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_v1),
+                                   rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("n,h,w,c,f", SHAPES[:3])
