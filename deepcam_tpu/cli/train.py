@@ -396,8 +396,12 @@ def main(pargs) -> dict:
         for data, label, names in validation_loader:
             n = data.shape[0]
             valid = np.ones((n,), np.float32)
-            if max_samples is not None and seen_local + n > max_samples * n_local:
-                keep = max(0, max_samples * n_local - seen_local)
+            # per-host budget: each local REPLICA (n_local/spatial of them)
+            # plays one reference rank; n_local would over-evaluate by
+            # spatial x under --spatial > 1
+            if (max_samples is not None
+                    and seen_local + n > max_samples * n_local_replicas):
+                keep = max(0, max_samples * n_local_replicas - seen_local)
                 valid[keep:] = 0.0
             if n < eval_host_batch:  # pad trailing partial batch
                 pad = eval_host_batch - n
@@ -418,7 +422,8 @@ def main(pargs) -> dict:
                 visualize_sample(state, d, np.asarray(label), names, step,
                                  "validation")
                 visualized = True
-            if max_samples is not None and seen_local >= max_samples * n_local:
+            if (max_samples is not None
+                    and seen_local >= max_samples * n_local_replicas):
                 break
         loss_avg_val = loss_sum / max(count, 1.0)
         iou_avg_val = iou_sum / max(count, 1.0)
@@ -432,9 +437,10 @@ def main(pargs) -> dict:
                              metadata={"epoch_num": epoch + 1, "step_num": step})
             stop_training = True
         logger.log_end(key="eval_stop", metadata={"epoch_num": epoch + 1})
-        return loss_avg_val, iou_avg_val
+        return loss_avg_val, iou_avg_val, count
 
-    final_metrics = {"step": step, "epoch": epoch, "eval_iou": None}
+    final_metrics = {"step": step, "epoch": epoch, "eval_iou": None,
+                     "eval_samples_seen": None}
 
     while True:
         logger.log_start(key="epoch_start",
@@ -481,8 +487,10 @@ def main(pargs) -> dict:
                     wb.watch(state.params, None, step)
 
             if step % pargs.validation_frequency == 0:
-                eval_loss, eval_iou = run_validation(state, epoch, step)
+                eval_loss, eval_iou, eval_count = run_validation(
+                    state, epoch, step)
                 final_metrics["eval_iou"] = eval_iou
+                final_metrics["eval_samples_seen"] = eval_count
 
             if pargs.save_frequency > 0 and step % pargs.save_frequency == 0:
                 logger.log_start(key="save_start",

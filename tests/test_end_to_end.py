@@ -77,7 +77,7 @@ def test_spatial_cli_run(tmp_path):
     from deepcam_tpu.models import layers as layerlib
 
     root = make_synthetic_dataset(
-        str(tmp_path / "data"), n_train=8, n_validation=4, shape=(32, 48)
+        str(tmp_path / "data"), n_train=8, n_validation=6, shape=(32, 48)
     )
     outdir = str(tmp_path / "out")
     args = build_parser().parse_args([
@@ -92,6 +92,7 @@ def test_spatial_cli_run(tmp_path):
         "--amp_opt_level", "O0",
         "--target_iou", "2.0",
         "--spatial", "2",
+        "--max_validation_steps", "0",
     ])
     try:
         result = main(args)
@@ -104,6 +105,11 @@ def test_spatial_cli_run(tmp_path):
     assert result["epoch"] == 1
     assert result["eval_iou"] is not None
     assert 0.0 <= result["eval_iou"] <= 1.0
+    # budget is per data REPLICA (reference: max_validation_steps+1 batch-1
+    # samples per rank, train_hdf5_ddp.py:484-487): (0+1) * 1 * 4 replicas
+    # = 4 of the 6 validation samples — NOT 8 (the n_local over-count bug
+    # would have evaluated all 6)
+    assert result["eval_samples_seen"] == 4
 
     records = parse_mllog(os.path.join(outdir, "logs", "sp2.log"))
     by_key = {}

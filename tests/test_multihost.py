@@ -80,6 +80,125 @@ print(json.dumps({"proc": proc_id, "loss": loss, "devices": jax.device_count()})
 """
 
 
+SPATIAL_WORKER = r"""
+import os, sys, json
+proc_id = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nprocs, process_id=proc_id,
+)
+sys.path.insert(0, os.getcwd())
+import numpy as np
+import jax.numpy as jnp
+from deepcam_tpu.core import mesh as meshlib
+from deepcam_tpu.models import layers as layerlib
+from deepcam_tpu.models.deeplab import DeepLabv3plus
+from deepcam_tpu.parallel.gspmd import make_eval_step_gspmd, make_train_step_gspmd
+from deepcam_tpu.train.losses import class_weights
+from deepcam_tpu.train.optim import build_optimizer
+from deepcam_tpu.train.trainer import create_train_state
+
+# data(2) x spatial(2): each process holds ONE data replica whose 2-way
+# H-sharded spatial group lives on its own 2 local devices (ICI-local halos,
+# cli/train.py --spatial semantics)
+layerlib.set_sepconv_impl("xla")  # Pallas custom-calls are SPMD-opaque
+mesh = meshlib.make_mesh(spatial=2)
+assert mesh.shape == {"data": 2, "spatial": 2}
+model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 16)),
+                       train=False)
+tx = build_optimizer("Adam", 1e-3)
+state = create_train_state(model, variables, tx)
+state = jax.device_put(state, meshlib.replicated(mesh))
+step_fn = make_train_step_gspmd(model, tx, list(class_weights()), mesh)
+eval_fn = make_eval_step_gspmd(model, list(class_weights()), mesh)
+
+# deterministic GLOBAL batch; each process feeds its sample (rank slice)
+rng = np.random.RandomState(0)
+gx = rng.rand(2, 32, 48, 16).astype(np.float32)
+gy = rng.randint(0, 3, size=(2, 32, 48)).astype(np.int32)
+sh = meshlib.batch_sharding(mesh)
+x = meshlib.put_global(gx[proc_id:proc_id + 1], sh)
+y = meshlib.put_global(gy[proc_id:proc_id + 1], sh)
+from jax.sharding import NamedSharding, PartitionSpec as P
+valid = meshlib.put_global(np.ones((1,), np.float32),
+                           NamedSharding(mesh, P("data")))
+c, ls, isum = eval_fn(state, x, y, valid)
+
+state2, metrics = step_fn(state, x, y)  # donates state — eval ran first
+loss = float(metrics["loss"])
+print(json.dumps({"proc": proc_id, "loss": loss,
+                  "eval_count": float(c), "eval_loss": float(ls)}))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_spatial_gspmd_step(tmp_path):
+    """The --spatial GSPMD data x spatial step across 2 processes: train +
+    eval numerics must equal a single-process 4-device run of the same
+    global batch (the pod path the CLI takes for --spatial > 1)."""
+    import json
+
+    import numpy as np
+
+    worker = tmp_path / "spatial_worker.py"
+    worker.write_text(SPATIAL_WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", "29513"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=480)
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, f"spatial worker failed:\n{err[-3000:]}"
+    results = [json.loads(out.strip().splitlines()[-1]) for _, out, _ in outs]
+    assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-6
+
+    # single-process reference on 4 of the conftest's 8 CPU devices
+    import jax
+    import jax.numpy as jnp
+
+    from deepcam_tpu.core import mesh as meshlib
+    from deepcam_tpu.models import layers as layerlib
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+    from deepcam_tpu.parallel.gspmd import make_train_step_gspmd
+    from deepcam_tpu.train.losses import class_weights
+    from deepcam_tpu.train.optim import build_optimizer
+    from deepcam_tpu.train.trainer import create_train_state
+
+    layerlib.set_sepconv_impl("xla")
+    try:
+        mesh = meshlib.make_mesh(spatial=2, devices=jax.devices()[:4])
+        model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 16)), train=False)
+        tx = build_optimizer("Adam", 1e-3)
+        state = create_train_state(model, variables, tx)
+        state = jax.device_put(state, meshlib.replicated(mesh))
+        step_fn = make_train_step_gspmd(model, tx, list(class_weights()), mesh)
+        rng = np.random.RandomState(0)
+        gx = rng.rand(2, 32, 48, 16).astype(np.float32)
+        gy = rng.randint(0, 3, size=(2, 32, 48)).astype(np.int32)
+        sh = meshlib.batch_sharding(mesh)
+        _, metrics = step_fn(state, jax.device_put(gx, sh),
+                             jax.device_put(gy, sh))
+        ref_loss = float(metrics["loss"])
+    finally:
+        layerlib.set_sepconv_impl("auto")
+    assert abs(results[0]["loss"] - ref_loss) < 1e-5, (results, ref_loss)
+
+
 @pytest.mark.slow
 def test_two_process_training_step(tmp_path):
     from deepcam_tpu.data.synthetic import make_synthetic_dataset
