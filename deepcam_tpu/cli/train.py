@@ -331,6 +331,30 @@ def main(pargs) -> dict:
             model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
         )
 
+    # Gradient-histogram watch steps (wandb.watch(net) hooks gradients in the
+    # reference, train_hdf5_ddp.py:326).  A second compiled step variant
+    # returns the pmean'd grads; built lazily on the first watch step, and
+    # gated on the FLAG (identical on every process), never on wb.active
+    # (rank-0 only) — different programs across ranks would deadlock the
+    # collectives on a pod.  Spatial>1 runs the GSPMD path and logs params
+    # only (the partitioner step does not expose grads).
+    watch_every = 10 * pargs.logging_frequency
+    _grads_step = [None]
+
+    def train_step_with_grads(state, x, y):
+        if _grads_step[0] is None:
+            _grads_step[0] = make_train_step(
+                model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
+                remat=pargs.remat, with_grads=True,
+            )
+        return _grads_step[0](state, x, y)
+
+    def is_watch_step(next_step):
+        return (
+            pargs.enable_wandb and spatial == 1
+            and next_step % watch_every == 0
+        )
+
     # jitted prediction for visualization (reference plots the current batch's
     # argmax at training_visualization_frequency, train_hdf5_ddp.py:374-394)
     from ..ops.classify import argmax_channels
@@ -449,7 +473,12 @@ def main(pargs) -> dict:
         for data, label, names in prefetch_to_device(
             cast_batches(train_loader), data_sharding, data_sharding
         ):
-            state, metrics = train_step(state, data, label)
+            if is_watch_step(step + 1):
+                state, metrics = train_step_with_grads(state, data, label)
+                watch_grads = metrics.pop("grads")
+            else:
+                state, metrics = train_step(state, data, label)
+                watch_grads = None
             step += 1
             # lr actually used by the update just taken: optax's count was
             # step-1 inside this step (reference logs get_last_lr(),
@@ -480,11 +509,11 @@ def main(pargs) -> dict:
                     step,
                 )
                 # wandb.watch analogue (train_hdf5_ddp.py:326): per-layer
-                # parameter histograms at 10x the scalar cadence (matching
-                # watch's sparser default log_freq); gradients stay inside
-                # the jitted step, so only params are sampled
-                if step % (10 * pargs.logging_frequency) == 0:
-                    wb.watch(state.params, None, step)
+                # parameter AND gradient histograms at 10x the scalar
+                # cadence (matching watch's sparser default log_freq); the
+                # grads came out of the with_grads step variant taken above
+                if step % watch_every == 0:
+                    wb.watch(state.params, watch_grads, step)
 
             if step % pargs.validation_frequency == 0:
                 eval_loss, eval_iou, eval_count = run_validation(

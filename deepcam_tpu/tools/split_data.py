@@ -1,8 +1,10 @@
 """Offline 80/10/10 train/validation/test split by symlink.
 
-Parity target: ``/root/reference/src/utils/split_data.py:26-96`` — shuffle the
-``.h5`` file list with ``np.random.seed(12345)``, take 80% train / 10%
-validation / 10% test, and symlink into ``{output}/{train,validation,test}``.
+Parity target: ``/root/reference/src/utils/split_data.py:26-96`` — select
+files named ``data*.h5`` (split_data.py:39 — the prefix filter keeps a
+stray ``stats.h5`` in the input dir out of the dataset), shuffle with
+``np.random.seed(12345)``, take 80% train / 10% validation / 10% test, and
+symlink into ``{output}/{train,validation,test}``.
 """
 
 from __future__ import annotations
@@ -20,7 +22,10 @@ def split_data(
     val_frac: float = 0.1,
     seed: int = 12345,
 ) -> dict:
-    files = sorted(x for x in os.listdir(input_dir) if x.endswith(".h5"))
+    files = sorted(
+        x for x in os.listdir(input_dir)
+        if x.startswith("data") and x.endswith(".h5")
+    )
     np.random.seed(seed)
     perm = np.random.permutation(len(files))
     files = [files[i] for i in perm]

@@ -76,6 +76,7 @@ def make_train_step(
     fpw_1: float = 0.0,
     fpw_2: float = 0.0,
     remat: bool = False,
+    with_grads: bool = False,
 ):
     """Build the compiled training step.
 
@@ -83,6 +84,12 @@ def make_train_step(
     global NHWC batch (sharded over the mesh data axis), ``y`` the labels,
     and metrics = {'loss', 'iou'} are globally averaged scalars (parity with
     the logging-step reductions at train_hdf5_ddp.py:398-410).
+
+    ``with_grads=True`` additionally returns the pmean'd gradient pytree as
+    ``metrics['grads']`` — the functional analogue of the gradient hooks
+    ``wandb.watch(net)`` registers in the reference (train_hdf5_ddp.py:326).
+    The driver compiles this variant separately and calls it only on watch
+    steps, so the default step never pays the extra HBM->host traffic.
     """
 
     # Block-space loss (default ON, DEEPCAM_BLOCK_LOSS=0 opts out): the
@@ -144,6 +151,8 @@ def make_train_step(
             "loss": lax.pmean(loss, "data"),
             "iou": lax.pmean(iou, "data"),
         }
+        if with_grads:
+            metrics["grads"] = grads
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,

@@ -37,6 +37,21 @@ def test_split_data_fractions_and_determinism(tmp_path):
     assert os.path.islink(some)
 
 
+def test_split_data_ignores_non_data_h5(tmp_path):
+    """A stray stats.h5 in the input dir must not be split into the dataset
+    (reference filter: split_data.py:39 startswith("data") and .h5)."""
+    src = _make_flat_h5_dir(str(tmp_path / "all"), n=10)
+    with h5.File(os.path.join(src, "stats.h5"), "w") as f:
+        f.create_dataset("climate/minval", data=np.zeros(4, np.float32))
+    out = str(tmp_path / "split")
+    counts = split_data(src, out)
+    assert counts == {"train": 8, "validation": 1, "test": 1}
+    for split in ("train", "validation", "test"):
+        assert all(
+            n.startswith("data") for n in os.listdir(os.path.join(out, split))
+        )
+
+
 def test_summarize_matches_global_stats(tmp_path):
     src = _make_flat_h5_dir(str(tmp_path / "train"), n=6, shape=(8, 12, 4))
     out = str(tmp_path / "stats.h5")

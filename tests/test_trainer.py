@@ -197,3 +197,35 @@ def test_block_eval_matches_fullres(setup, monkeypatch, tail):
     assert c_b == c_f == 6.0
     np.testing.assert_allclose(l_b, l_f, rtol=1e-5)
     np.testing.assert_allclose(i_b, i_f, rtol=1e-5)
+
+
+def test_train_step_with_grads_returns_pmeaned_grads(setup):
+    """with_grads=True must return the same update plus a grads pytree whose
+    structure matches params and whose values are replica-consistent (they
+    are pmean'd inside the step) — feeds the wandb.watch gradient histograms
+    (reference hooks grads via wandb.watch(net), train_hdf5_ddp.py:326)."""
+    model, tx, fresh_state, mesh = setup
+    w = list(class_weights())
+    x, y = _batch(8, key=5)
+
+    plain = make_train_step(model, tx, w, mesh)
+    withg = make_train_step(model, tx, w, mesh, with_grads=True)
+
+    s1 = jax.device_put(fresh_state(), meshlib.replicated(mesh))
+    s1, m1 = plain(s1, x, y)
+    s2 = jax.device_put(fresh_state(), meshlib.replicated(mesh))
+    s2, m2 = withg(s2, x, y)
+
+    grads = m2.pop("grads")
+    assert jax.tree_util.tree_structure(grads) == jax.tree_util.tree_structure(
+        s2.params
+    )
+    # identical training result (the variant only ADDS an output)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["conv1"]["kernel"]),
+        np.asarray(s2.params["conv1"]["kernel"]), rtol=1e-6, atol=1e-7,
+    )
+    # grads are real (nonzero somewhere) and finite
+    leaf = np.asarray(grads["conv1"]["kernel"])
+    assert np.isfinite(leaf).all() and np.abs(leaf).max() > 0
