@@ -1,0 +1,193 @@
+"""Multi-step training-trajectory equivalence vs the torch reference.
+
+The reference's acceptance test is convergence (eval IoU >= 0.82,
+train_hdf5_ddp.py:505-507); real All-Hist data is absent in this
+environment, so the strongest available convergence proxy is trajectory
+equivalence: run BOTH stacks from identical weights on identical data for
+N >= 50 optimizer steps — through an LR warmup AND a multistep milestone —
+and require the loss/IoU trajectories to track.
+
+Two trajectories are proven:
+
+* ``test_adamw_trajectory_tracks_reference`` — our full sharded train step
+  vs the eager torch reference (reference model + fp_loss + torch AdamW),
+  per-step LR driven by our warmup+multistep schedule on both sides.
+  Covers model fwd/bwd, BN running-stat accumulation, weighted-CE grads,
+  and AdamW update math compounding over the horizon.
+* ``test_lamb_trajectory_matches_apex_port`` — our full train step with
+  LAMB consuming its own grad stream, shadowed by the numpy port of apex
+  FusedLAMB (the reference's large-batch optimizer, train_hdf5_ddp.py:217)
+  fed the SAME grads; params must track through warmup + milestone.
+
+``TRAJ_STEPS`` overrides the horizon (default 50).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference/src/deepCam"
+N_STEPS = int(os.environ.get("TRAJ_STEPS", "50"))
+WARMUP, MILESTONE = 10, 25
+
+
+def _batches(n_steps, batch=2, h=32, w=48, c=16, seed=17):
+    """Learnable synthetic stream: labels are a function of the inputs."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n_steps):
+        x = rng.rand(batch, h, w, c).astype(np.float32)
+        y = np.clip((x[..., 0] * 2.2 + x[..., 1] * 0.8).astype(np.int32), 0, 2)
+        out.append((x, y.astype(np.int32)))
+    return out
+
+
+def _lr_schedule():
+    from deepcam_tpu.train.schedule import get_lr_schedule
+
+    return get_lr_schedule(
+        1e-3,
+        {"type": "multistep", "milestones": str(MILESTONE), "decay_rate": "0.1"},
+        warmup_steps=WARMUP,
+        warmup_factor=2.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    sys.path.insert(0, REF)
+    from architecture import deeplab_xception
+    from utils import losses as ref_losses
+
+    yield deeplab_xception, ref_losses
+    sys.path.remove(REF)
+
+
+@pytest.mark.slow
+def test_adamw_trajectory_tracks_reference(ref_pkg):
+    import torch
+
+    from deepcam_tpu.core import mesh as meshlib
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+    from deepcam_tpu.train.losses import class_weights
+    from deepcam_tpu.train.optim import build_optimizer
+    from deepcam_tpu.train.trainer import create_train_state, make_train_step
+    from tests.test_golden_model import load_into_reference
+
+    ref_module, ref_losses = ref_pkg
+    lr_fn = _lr_schedule()
+    weights = list(class_weights())
+    eps, wd = 1e-8, 1e-6
+
+    # ---- our stack: real sharded train step on a 1-device mesh (single
+    # replica => BN batch statistics identical to the eager torch pass) ----
+    model = DeepLabv3plus(n_classes=3, output_stride=16, dtype=jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, 32, 48, 16), jnp.float32),
+                             train=False)
+    )(jax.random.PRNGKey(21))
+    mesh = meshlib.make_mesh(devices=jax.devices()[:1])
+    tx = build_optimizer("AdamW", lr_fn, eps=eps, weight_decay=wd)
+    state = create_train_state(model, variables, tx)
+    state = jax.device_put(state, meshlib.replicated(mesh))
+    step_fn = make_train_step(model, tx, weights, mesh)
+
+    # ---- torch stack: reference model/loss/optimizer from the SAME weights
+    net = ref_module.DeepLabv3_plus(
+        n_input=16, n_classes=3, os=16, pretrained=False, _print=False
+    )
+    load_into_reference(net, variables["params"], variables["batch_stats"],
+                        ref_module)
+    net.train()
+    opt = torch.optim.AdamW(net.parameters(), lr=1.0, eps=eps,
+                            weight_decay=wd)
+    w_t = torch.tensor(weights, dtype=torch.float32)
+
+    ours_loss, ref_loss = [], []
+    for i, (x, y) in enumerate(_batches(N_STEPS)):
+        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y))
+        ours_loss.append(float(metrics["loss"]))
+
+        for g in opt.param_groups:
+            g["lr"] = float(lr_fn(i))
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+        yt = torch.from_numpy(y.astype(np.int64))
+        out = net(xt)
+        loss = ref_losses.fp_loss(out, yt, w_t,
+                                  fpw_1=2.61461122397522257612,
+                                  fpw_2=1.71641974795896018744)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_loss.append(float(loss))
+
+    ours = np.asarray(ours_loss)
+    ref = np.asarray(ref_loss)
+    rel = np.abs(ours - ref) / np.maximum(np.abs(ref), 1e-6)
+    # the trajectories must LEARN (warmup + milestone exercised on real
+    # updates, not a flat loss) ...
+    assert ref[-1] < 0.8 * ref[0], f"reference did not learn: {ref[:3]}..{ref[-3:]}"
+    # ... and track: exact at step 0 (one-step parity), then a bounded fp32
+    # noise band (measured: ~1e-3..2e-2 rel, fluctuating not growing —
+    # reduction-order noise through Adam normalization, not drift)
+    assert rel[0] < 1e-4, f"step-0 parity broken: {rel[0]:.2e}"
+    assert np.median(rel) < 2e-2, f"median rel diff {np.median(rel):.4f}"
+    assert rel.max() < 0.25, f"trajectory diverged: max rel {rel.max():.4f} at step {rel.argmax()}"
+    # same post-milestone behavior (both sides took the 10x LR cut)
+    assert abs(ours[-5:].mean() - ref[-5:].mean()) / ref[-5:].mean() < 0.1
+
+
+@pytest.mark.slow
+def test_lamb_trajectory_matches_apex_port():
+    from deepcam_tpu.core import mesh as meshlib
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+    from deepcam_tpu.train.losses import class_weights
+    from deepcam_tpu.train.optim import build_optimizer
+    from deepcam_tpu.train.trainer import create_train_state, make_train_step
+    from tests.test_lamb_golden import apex_lamb_step
+
+    lr_fn = _lr_schedule()
+    weights = list(class_weights())
+    eps, wd = 1e-8, 1e-2  # run-script LAMB configs use wd 1e-2
+
+    model = DeepLabv3plus(n_classes=3, output_stride=16, dtype=jnp.float32)
+    variables = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, 32, 48, 16), jnp.float32),
+                             train=False)
+    )(jax.random.PRNGKey(22))
+    mesh = meshlib.make_mesh(devices=jax.devices()[:1])
+    tx = build_optimizer("LAMB", lr_fn, eps=eps, weight_decay=wd)
+    state = create_train_state(model, variables, tx)
+    state = jax.device_put(state, meshlib.replicated(mesh))
+    step_fn = make_train_step(model, tx, weights, mesh, with_grads=True)
+
+    flat0, treedef = jax.tree_util.tree_flatten(variables["params"])
+    shadow_p = {i: np.asarray(l, np.float64) for i, l in enumerate(flat0)}
+    shadow_m = {i: np.zeros_like(v) for i, v in shadow_p.items()}
+    shadow_v = {i: np.zeros_like(v) for i, v in shadow_p.items()}
+
+    horizon = max(N_STEPS // 2, MILESTONE + 5)  # past the milestone
+    for i, (x, y) in enumerate(_batches(horizon, seed=23)):
+        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y))
+        grads = {j: np.asarray(l, np.float64) for j, l in enumerate(
+            jax.tree_util.tree_leaves(metrics["grads"]))}
+        shadow_p, shadow_m, shadow_v = apex_lamb_step(
+            shadow_p, grads, shadow_m, shadow_v, i + 1,
+            lr=float(lr_fn(i)), eps=eps, wd=wd,
+        )
+
+    ours_flat = jax.tree_util.tree_leaves(state.params)
+    worst = 0.0
+    for j, leaf in enumerate(ours_flat):
+        a = np.asarray(leaf, np.float64)
+        b = shadow_p[j]
+        denom = max(float(np.abs(b).max()), 1e-8)
+        worst = max(worst, float(np.abs(a - b).max()) / denom)
+    # our optax LAMB chain must reproduce apex FusedLAMB trajectory-long:
+    # fp32 step vs fp64 shadow, compounded over the horizon
+    assert worst < 5e-3, f"LAMB trajectory drifted: worst rel {worst:.2e}"
