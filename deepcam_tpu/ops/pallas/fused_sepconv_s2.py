@@ -423,16 +423,25 @@ def _fix_g_v2(t, hi, nh):
 
 def _wsplit(s):
     """(rows, W, C) → the two column phases (rows, W/2, C): b=0 at even
-    columns, b=1 at odd (sublane-dim stride-2 selects)."""
-    return s[:, 0::2, :], s[:, 1::2, :]
+    columns, b=1 at odd.  Via pair-reshape + static index: jnp's strided
+    ``[:, 0::2]`` lowers to a >2-D gather and ``lax.slice`` strides to a
+    stride-2 ``vector.extract_strided_slice`` — Mosaic rejects both; the
+    (W/2, 2) reshape + index lowers to sublane shuffles."""
+    rows, w, c = s.shape
+    r = s.reshape(rows, w // 2, 2, c)
+    return r[:, :, 0, :], r[:, :, 1, :]
 
 
 def _split_taps_v2(xt, th):
     """Full-res window (2·th+1, W, C) → the v1 phase-tap tuple.  Logical
     window row j holds x row 2·r0 + j − 1: even j are the a=1 phase rows
-    (with top halo), odd j the a=0 rows."""
-    ev = xt[0::2]  # (th+1, W, C): x rows 2r−1 / 2r+1  (≡ v1's haloed t1*)
-    od = xt[1::2]  # (th,   W, C): x rows 2r           (≡ v1's t0*)
+    (with top halo), odd j the a=0 rows.  Row split via pair-reshape +
+    static index (strided slicing does not lower under Mosaic; the row dim
+    is untiled so this reshape is free)."""
+    rows, w, c = xt.shape
+    head = xt[:2 * th].reshape(th, 2, w, c)
+    ev = jnp.concatenate([head[:, 0], xt[2 * th:]], axis=0)  # (th+1, W, C)
+    od = head[:, 1]                                          # (th,   W, C)
     o0, o1 = _wsplit(od)
     e0, e1 = _wsplit(ev)
     return o0, o1, e0, e1

@@ -1,0 +1,125 @@
+"""AOT TPU (Mosaic) lowering regression tests for every Pallas kernel path.
+
+The CPU test suite runs the kernels in interpret mode, which NEVER exercises
+the Mosaic lowering — round 3 found fused_sepconv_s2_v2 failing on real
+hardware with "Only 2D gather is supported" (jnp strided ``[0::2]`` indexing
+lowers to a >2-D gather; ``lax.slice`` strides to a stride-2
+``vector.extract_strided_slice`` — Mosaic rejects both) while all its
+interpret-mode parity tests passed.  ``jit(f).trace(x).lower(
+lowering_platforms=("tpu",))`` runs the full Mosaic pipeline on a CPU-only
+machine, so every kernel configuration that can reach hardware is lowered
+here.  No TPU (or execution) involved — these are compile-only.
+"""
+
+import functools
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+
+def _lower(fn, *args):
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def _grad_all(fn, n):
+    def loss(*args):
+        out = fn(*args)
+        out = out[0] if isinstance(out, tuple) else out
+        return out.astype(jnp.float32).sum()
+
+    return jax.grad(loss, argnums=tuple(range(n)))
+
+
+def _s1_operands(c=128, f=128, h=48, w=72):
+    x = jnp.zeros((2, h, w, c), jnp.bfloat16)
+    dwk = jnp.zeros((3, 3, c), jnp.bfloat16)
+    pwk = jnp.zeros((c, f), jnp.bfloat16)
+    a = jnp.zeros((1, c), jnp.bfloat16)
+    b = jnp.zeros((1, c), jnp.bfloat16)
+    return x, a, b, dwk, pwk
+
+
+@pytest.mark.parametrize("pre_relu", [True, False])
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_fused_sepconv_s1_lowers(pre_relu, dilation, monkeypatch):
+    from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv
+
+    x, _, _, dwk, pwk = _s1_operands()
+    fn = functools.partial(fused_sepconv, pre_relu=pre_relu, dilation=dilation)
+    _lower(fn, x, dwk, pwk)
+    _lower(_grad_all(fn, 3), x, dwk, pwk)
+
+
+@pytest.mark.parametrize("nopad", ["0", "1"])
+def test_fused_sepconv_s1_stats_affine_lowers(nopad, monkeypatch):
+    monkeypatch.setenv("DEEPCAM_FUSED_NOPAD", nopad)
+    from deepcam_tpu.ops.pallas.fused_sepconv import (
+        fused_sepconv_affine,
+        fused_sepconv_affine_stats,
+        fused_sepconv_stats,
+    )
+
+    x, a, b, dwk, pwk = _s1_operands()
+    _lower(_grad_all(fused_sepconv_stats, 3), x, dwk, pwk)
+    _lower(_grad_all(fused_sepconv_affine, 5), x, a, b, dwk, pwk)
+    _lower(_grad_all(fused_sepconv_affine_stats, 5), x, a, b, dwk, pwk)
+
+
+def test_fused_sepconv_s1_stats_inkernel_lowers(monkeypatch):
+    monkeypatch.setenv("DEEPCAM_STATS_INKERNEL", "1")
+    monkeypatch.setenv("DEEPCAM_FUSED_NOPAD", "1")
+    from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv_stats
+
+    x, _, _, dwk, pwk = _s1_operands()
+    _lower(_grad_all(fused_sepconv_stats, 3), x, dwk, pwk)
+
+
+def test_fused_sepconv_s2_v1_lowers():
+    from deepcam_tpu.ops.pallas.fused_sepconv_s2 import (
+        fused_sepconv_s2,
+        fused_sepconv_s2_affine,
+    )
+
+    x, a, b, dwk, pwk = _s1_operands()
+    _lower(_grad_all(fused_sepconv_s2, 3), x, dwk, pwk)
+    _lower(_grad_all(fused_sepconv_s2_affine, 5), x, a, b, dwk, pwk)
+
+
+def test_fused_sepconv_s2_v2_lowers():
+    from deepcam_tpu.ops.pallas.fused_sepconv_s2 import (
+        fused_sepconv_s2_affine_v2,
+        fused_sepconv_s2_v2,
+    )
+
+    x, a, b, dwk, pwk = _s1_operands()
+    _lower(_grad_all(fused_sepconv_s2_v2, 3), x, dwk, pwk)
+    _lower(_grad_all(fused_sepconv_s2_affine_v2, 5), x, a, b, dwk, pwk)
+
+
+def test_fused_sepconv_s2_v2_lowers_at_block_shapes():
+    """The tail shapes that actually occur: block1/2/3 at batch 4."""
+    from deepcam_tpu.ops.pallas.fused_sepconv_s2 import fused_sepconv_s2_v2
+
+    for (h, w, c, f) in ((384, 576, 128, 128), (192, 288, 256, 256),
+                         (96, 144, 728, 728)):
+        x = jnp.zeros((1, h, w, c), jnp.bfloat16)
+        dwk = jnp.zeros((3, 3, c), jnp.bfloat16)
+        pwk = jnp.zeros((c, f), jnp.bfloat16)
+        _lower(_grad_all(fused_sepconv_s2_v2, 3), x, dwk, pwk)
+
+
+def test_dw_wgrad_and_cwgrad_lower():
+    """Opt-in kernels must still lower (they are selectable via env)."""
+    from deepcam_tpu.ops.pallas.conv_wgrad import conv3x3_wgrad_pallas
+    from deepcam_tpu.ops.pallas.dw_wgrad import dw_wgrad_pallas
+
+    x = jnp.zeros((2, 48, 72, 128), jnp.bfloat16)
+    g = jnp.zeros((2, 48, 72, 128), jnp.bfloat16)
+    _lower(lambda x, g: dw_wgrad_pallas(x, g, stride=1), x, g)
+    xs = jnp.zeros((2, 48, 72, 16), jnp.bfloat16)
+    gs = jnp.zeros((2, 24, 36, 64), jnp.bfloat16)
+    _lower(lambda x, g: conv3x3_wgrad_pallas(x, g, stride=2), xs, gs)
