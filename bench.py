@@ -113,9 +113,14 @@ def main():
     # BENCH_REMAT=1: rematerialized step (jax.checkpoint) — trades ~30%
     # recompute for activation memory, for batch-scaling experiments past
     # the b8 OOM point.
+    # BENCH_IOU=1 re-adds the per-step train-IoU computation.  The default
+    # measures the production hot path: the REFERENCE computes IoU only
+    # inside its logging branch (train_hdf5_ddp.py:404-410), and the CLI
+    # mirrors that with a separate metrics-step variant on logging steps.
     step_fn = make_train_step(
         model, tx, list(class_weights()), mesh, fpw_1=FPW_1, fpw_2=FPW_2,
         remat=os.environ.get("BENCH_REMAT") == "1",
+        with_iou=os.environ.get("BENCH_IOU", "0") == "1",
     )
 
     batch = LOCAL_BATCH * n_chips

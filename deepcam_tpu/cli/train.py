@@ -319,20 +319,30 @@ def main(pargs) -> dict:
             model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
             remat=pargs.remat,
         )
+        train_step_metrics = train_step  # GSPMD step always carries metrics
         eval_step = make_eval_step_gspmd(
             model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
         )
     else:
+        # Two step variants, reference-parity split: the hot step computes
+        # loss only (the reference's hot loop has no IoU — argmax +
+        # compute_score live inside its logging branch,
+        # train_hdf5_ddp.py:404-410); the metrics step adds the train IoU
+        # and runs only on logging steps.
         train_step = make_train_step(
             model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
-            remat=pargs.remat,
+            remat=pargs.remat, with_iou=False,
+        )
+        train_step_metrics = make_train_step(
+            model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
+            remat=pargs.remat, with_iou=True,
         )
         eval_step = make_eval_step(
             model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
         )
 
     # Gradient-histogram watch steps (wandb.watch(net) hooks gradients in the
-    # reference, train_hdf5_ddp.py:326).  A second compiled step variant
+    # reference, train_hdf5_ddp.py:326).  A third compiled step variant
     # returns the pmean'd grads; built lazily on the first watch step, and
     # gated on the FLAG (identical on every process), never on wb.active
     # (rank-0 only) — different programs across ranks would deadlock the
@@ -345,7 +355,7 @@ def main(pargs) -> dict:
         if _grads_step[0] is None:
             _grads_step[0] = make_train_step(
                 model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
-                remat=pargs.remat, with_grads=True,
+                remat=pargs.remat, with_grads=True, with_iou=True,
             )
         return _grads_step[0](state, x, y)
 
@@ -354,6 +364,9 @@ def main(pargs) -> dict:
             pargs.enable_wandb and spatial == 1
             and next_step % watch_every == 0
         )
+
+    def is_logging_step(next_step):
+        return next_step % pargs.logging_frequency == 0
 
     # jitted prediction for visualization (reference plots the current batch's
     # argmax at training_visualization_frequency, train_hdf5_ddp.py:374-394)
@@ -473,12 +486,14 @@ def main(pargs) -> dict:
         for data, label, names in prefetch_to_device(
             cast_batches(train_loader), data_sharding, data_sharding
         ):
+            watch_grads = None
             if is_watch_step(step + 1):
                 state, metrics = train_step_with_grads(state, data, label)
                 watch_grads = metrics.pop("grads")
+            elif is_logging_step(step + 1):
+                state, metrics = train_step_metrics(state, data, label)
             else:
                 state, metrics = train_step(state, data, label)
-                watch_grads = None
             step += 1
             # lr actually used by the update just taken: optax's count was
             # step-1 inside this step (reference logs get_last_lr(),

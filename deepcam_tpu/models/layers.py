@@ -918,11 +918,12 @@ class SeparableConv2dSame(nn.Module):
 # ---------------------------------------------------------------------------
 
 def _bn_one_pass() -> bool:
-    """One-pass E[x²] batch statistics for XLA-producer BNs — opt-in
-    (DEEPCAM_BN_ONEPASS=1) pending TPU A/B."""
+    """One-pass E[x²]−E[x]² batch statistics for XLA-producer BNs — default
+    ON since the r3 A/B (23.36 → 23.93 samples/s/chip, one reduction pass
+    over x instead of two); DEEPCAM_BN_ONEPASS=0 opts out."""
     import os
 
-    return os.environ.get("DEEPCAM_BN_ONEPASS", "0") == "1"
+    return os.environ.get("DEEPCAM_BN_ONEPASS", "1") == "1"
 
 
 class BatchNorm2d(nn.Module):

@@ -77,6 +77,7 @@ def make_train_step(
     fpw_2: float = 0.0,
     remat: bool = False,
     with_grads: bool = False,
+    with_iou: bool = True,
 ):
     """Build the compiled training step.
 
@@ -84,6 +85,14 @@ def make_train_step(
     global NHWC batch (sharded over the mesh data axis), ``y`` the labels,
     and metrics = {'loss', 'iou'} are globally averaged scalars (parity with
     the logging-step reductions at train_hdf5_ddp.py:398-410).
+
+    ``with_iou=False`` omits the train-IoU computation: the REFERENCE only
+    computes it inside the logging branch (argmax + compute_score at
+    train_hdf5_ddp.py:404-410, every ``logging_frequency`` steps) — paying
+    the full-batch argmax + per-class mask reductions every step is pure
+    overhead the reference's hot loop never has.  The driver compiles the
+    no-IoU variant for non-logging steps (r3 trace: the select/reduce
+    fusion family behind the IoU counts is ~5 ms of a 167 ms step).
 
     ``with_grads=True`` additionally returns the pmean'd gradient pytree as
     ``metrics['grads']`` — the functional analogue of the gradient hooks
@@ -143,14 +152,12 @@ def make_train_step(
         # Keep replicated state consistent across devices.
         new_bs = lax.pmean(new_bs, "data")
 
-        preds = argmax_channels(logits)
-        iou = compute_score(
-            preds, _block_labels(logits, y), num_classes=logits.shape[-1])
-
-        metrics = {
-            "loss": lax.pmean(loss, "data"),
-            "iou": lax.pmean(iou, "data"),
-        }
+        metrics = {"loss": lax.pmean(loss, "data")}
+        if with_iou:
+            preds = argmax_channels(logits)
+            iou = compute_score(
+                preds, _block_labels(logits, y), num_classes=logits.shape[-1])
+            metrics["iou"] = lax.pmean(iou, "data")
         if with_grads:
             metrics["grads"] = grads
         new_state = TrainState(

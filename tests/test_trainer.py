@@ -166,9 +166,11 @@ def test_block_loss_matches_fullres(setup, monkeypatch, tail):
                                rtol=1e-5)
     np.testing.assert_allclose(float(m_b["iou"]), float(m_f["iou"]),
                                rtol=1e-5)
+    # atol 2e-5: with one-pass BN statistics (default since r3) the
+    # block/full-res grad difference is fp summation noise that grazes 1e-5
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5),
         s_b.params, s_f.params,
     )
 
