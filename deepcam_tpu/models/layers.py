@@ -238,46 +238,21 @@ class Conv2d(nn.Module):
                 y = y + bias.astype(y.dtype)
             return y
 
-        rate = _to_pair(self.dilation)[0]
-        if (
-            (kh, kw) == (3, 3)
-            and self.groups == 1
-            and _to_pair(self.stride) == (1, 1)
-            and _to_pair(self.dilation) == (rate, rate)
-            and rate > 1
-            and self.padding == rate
-            and os.environ.get("DEEPCAM_ATROUS", "0") in ("1", "s2b")
-        ):
-            # ASPP branches: XLA's rhs_dilation schedule runs ~8x off peak
-            # at (48, 72).  Two re-expressions (ops/atrous.py), both opt-in
-            # pending/after TPU A/B:
-            # * DEEPCAM_ATROUS=1 — nine shift-decomposed MXU-dense taps
-            #   with a custom VJP.  Measured r2: the taps re-read the
-            #   2048-lane input 9x and LOSE end-to-end (fwd 2.4→2.8 ms,
-            #   bwd 2.9→3.7 ms per branch; whole-model 0.978x).
-            # * DEEPCAM_ATROUS=s2b — space-to-batch: ONE dense 3x3 SAME
-            #   conv over phase-major blocks (full windowed reuse, no
-            #   dilation anywhere; backward is the dense conv's own VJP).
-            if os.environ["DEEPCAM_ATROUS"] == "s2b":
-                from ..ops.atrous import conv3x3_atrous_s2b
-
-                y = conv3x3_atrous_s2b(
-                    x.astype(self.dtype), kernel.astype(self.dtype), rate)
-            else:
-                from ..ops.atrous import conv3x3_atrous
-
-                y = conv3x3_atrous(
-                    x.astype(self.dtype), kernel.astype(self.dtype), rate)
-        else:
-            y = conv2d(
-                x,
-                kernel,
-                stride=self.stride,
-                padding=self.padding,
-                dilation=self.dilation,
-                groups=self.groups,
-                compute_dtype=self.dtype,
-            )
+        # ASPP atrous branches run XLA's rhs_dilation schedule.  Two
+        # re-expressions were built and measured (r2/r3): nine
+        # shift-decomposed MXU-dense taps (0.978x — the taps re-read the
+        # 2048-lane input 9x) and space-to-batch over phase-major blocks
+        # (0.991x).  Neither has a win path at these shapes, so both were
+        # PRUNED in r3 (git history: deepcam_tpu/ops/atrous.py).
+        y = conv2d(
+            x,
+            kernel,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+            compute_dtype=self.dtype,
+        )
         if self.use_bias:
             fan_in = (in_ch // self.groups) * kh * kw
             bias = self.param(

@@ -26,20 +26,11 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _use_pallas_wgrad() -> bool:
-    # Opt-in (DEEPCAM_PALLAS_CWGRAD=1): the Pallas single-residency wgrad
-    # kernel (ops/pallas/conv_wgrad.py) is correct but LOSES end-to-end on
-    # hardware — whole-model A/B (scripts/cwgrad_ab.py): batch 2 ~0.98x,
-    # batch 4 0.84x vs the slice-form einsums.  Same custom-call-boundary
-    # story as dw_wgrad (PERF.md).
-    import os
-
-    if os.environ.get("DEEPCAM_PALLAS_CWGRAD") != "1":
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+# NOTE (r3): the Pallas single-residency entry-conv wgrad kernel
+# (DEEPCAM_PALLAS_CWGRAD=1, ops/pallas/conv_wgrad.py) was PRUNED — correct
+# but 0.84-0.99x whole-model (custom-call fusion boundary), and the s2d
+# conv1 default removed the strided-slice pathology it targeted.  See git
+# history and PERF.md.
 
 
 def _use_s2d() -> bool:
@@ -95,15 +86,8 @@ def _bwd(stride, res, g):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    # wgrad: single-residency Pallas kernel on TPU (all nine taps from one
-    # window per grid step — the slice form re-reads x ~9x, ~13 ms/step of
-    # slices in the fused-model trace); slice-form einsums elsewhere
-    if _use_pallas_wgrad():
-        from .pallas.conv_wgrad import conv3x3_wgrad_pallas
-
-        dk = conv3x3_wgrad_pallas(x, g, stride=stride).astype(kernel.dtype)
-        return dx.astype(x.dtype), dk
-
+    # wgrad: slice-form tap einsums (the pruned Pallas single-residency
+    # kernel lost whole-model — see the r3 NOTE above)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     oh, ow = g.shape[1], g.shape[2]
     # bf16 operands: products of bf16 inputs are exact in the MXU fp32

@@ -31,20 +31,11 @@ from jax import lax
 import os
 
 
-def _use_pallas_wgrad(stride: int) -> bool:
-    """Opt-in (DEEPCAM_PALLAS=1) Pallas single-pass wgrad on TPU, stride 1.
-
-    Measured standalone the kernel beats the slice form at every model shape,
-    but in the full model it LOSES (~7% end-to-end): each pallas_call is an
-    opaque custom-call that breaks XLA fusion around it and this kernel does
-    not yet double-buffer its DMA.  Kept opt-in until a fused-block version
-    (relu+dw+pw) justifies the fusion break; see PERF.md."""
-    if stride != 1 or os.environ.get("DEEPCAM_PALLAS") != "1":
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+# NOTE (r3): the standalone Pallas dw-wgrad kernel (DEEPCAM_PALLAS=1,
+# ops/pallas/dw_wgrad.py) was PRUNED — it beat the slice form at every
+# standalone shape but lost ~7% whole-model (custom-call fusion boundary),
+# and the fused sepconv kernel's one-kernel VJP superseded its use case
+# entirely.  See git history and PERF.md for the measurements.
 
 
 def _grouped_conv(x, k4, stride, dilation, pad, lhs_dilation=(1, 1)):
@@ -115,14 +106,6 @@ def _dw_bwd(stride, dilation, padding, res, g):
 
     # wgrad: dk[i, j, c] = sum_{n, ho, wo} xp[n, ho*s + i*d, wo*s + j*d, c]
     #                      * g[n, ho, wo, c]
-    if _use_pallas_wgrad(stride):
-        from .pallas.dw_wgrad import dw_wgrad_pallas
-
-        dk = dw_wgrad_pallas(
-            x, g, stride=stride, dilation=dilation, padding=padding
-        )
-        return dx.astype(x.dtype), dk[:, :, None, :].astype(kernel.dtype)
-
     g32 = g.astype(jnp.float32)
     oh, ow = g.shape[1], g.shape[2]
 

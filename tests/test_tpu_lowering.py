@@ -112,14 +112,30 @@ def test_fused_sepconv_s2_v2_lowers_at_block_shapes():
         _lower(_grad_all(fused_sepconv_s2_v2, 3), x, dwk, pwk)
 
 
-def test_dw_wgrad_and_cwgrad_lower():
-    """Opt-in kernels must still lower (they are selectable via env)."""
-    from deepcam_tpu.ops.pallas.conv_wgrad import conv3x3_wgrad_pallas
-    from deepcam_tpu.ops.pallas.dw_wgrad import dw_wgrad_pallas
+def test_full_train_step_lowers_for_tpu():
+    """The whole jitted train step (default knobs) must pass the Mosaic +
+    XLA lowering pipeline — catches kernel-lowering regressions in the
+    exact composition hardware runs."""
+    from deepcam_tpu.core import mesh as meshlib
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+    from deepcam_tpu.train.losses import class_weights
+    from deepcam_tpu.train.optim import build_optimizer
+    from deepcam_tpu.train.trainer import create_train_state, make_train_step
+    from deepcam_tpu.models import layers as layerlib
 
-    x = jnp.zeros((2, 48, 72, 128), jnp.bfloat16)
-    g = jnp.zeros((2, 48, 72, 128), jnp.bfloat16)
-    _lower(lambda x, g: dw_wgrad_pallas(x, g, stride=1), x, g)
-    xs = jnp.zeros((2, 48, 72, 16), jnp.bfloat16)
-    gs = jnp.zeros((2, 24, 36, 64), jnp.bfloat16)
-    _lower(lambda x, g: conv3x3_wgrad_pallas(x, g, stride=2), xs, gs)
+    layerlib.set_sepconv_impl("fused")  # force the Pallas path into the HLO
+    try:
+        model = DeepLabv3plus(n_classes=3, dtype=jnp.bfloat16)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 16), jnp.float32),
+            train=False)
+        tx = build_optimizer("AdamW", 1e-3)
+        mesh = meshlib.make_mesh(devices=jax.devices()[:1])
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(model, tx, list(class_weights()), mesh,
+                               with_iou=False)
+        x = jnp.zeros((2, 64, 96, 16), jnp.bfloat16)
+        y = jnp.zeros((2, 64, 96), jnp.int32)
+        step.trace(state, x, y).lower(lowering_platforms=("tpu",))
+    finally:
+        layerlib.set_sepconv_impl("auto")
