@@ -791,12 +791,19 @@ class SeparableConv2dSame(nn.Module):
         # the kernel wins where the backward dominates (wide channels);
         # XLA keeps the lane-starved entry shapes (measured: PERF.md r2)
         min_ch = int(os.environ.get("DEEPCAM_FUSED_MIN_CH", "0"))
+        # DEEPCAM_FUSED_MIN_ROWS=N routes tiny-spatial units back to XLA:
+        # the r3 trace shows the exit-flow dilation-2 units at (24, 36)
+        # spatial cost 1.3-1.5 ms per custom-call for ~0.1 ms of inherent
+        # work (the row-tiled grid degenerates at 24 rows).  Opt-in
+        # pending hardware A/B (r3 wave 3).
+        min_rows = int(os.environ.get("DEEPCAM_FUSED_MIN_ROWS", "0"))
         if (
             fused
             and self.kernel_size == 3
             and self.stride == 1
             and not self.use_bias
             and in_ch >= min_ch
+            and x.shape[1] >= min_rows
         ):
             from ..ops.pallas.fused_sepconv import (
                 fused_sepconv,

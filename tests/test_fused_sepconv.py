@@ -282,6 +282,8 @@ class TestStatsVariants:
 
         rng = np.random.RandomState(7)
         x = jnp.asarray(rng.randn(1, 8, 12, 16), jnp.float32)
+        from deepcam_tpu.models.xception import XceptionBlock
+
         blk = XceptionBlock(out_ch=16, reps=3, stride=1, dtype=jnp.float32)
 
         def run(stats_on):
@@ -450,3 +452,41 @@ class TestNopadWindows:
             np.testing.assert_allclose(
                 np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5,
                 err_msg=name)
+
+
+class TestMinRowsGate:
+    """DEEPCAM_FUSED_MIN_ROWS routes tiny-spatial units to the XLA path
+    (r3 trace: the exit-flow (24, 36) kernel calls degenerate) with an
+    identical param tree and matching numerics."""
+
+    def test_min_rows_routes_to_xla(self, monkeypatch):
+        from deepcam_tpu.models import layers
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(1, 8, 12, 16), jnp.float32)
+        from deepcam_tpu.models.xception import XceptionBlock
+
+        blk = XceptionBlock(out_ch=16, reps=3, stride=1, dtype=jnp.float32)
+
+        def run():
+            layers.set_sepconv_impl("fused")
+            try:
+                variables = blk.init(jax.random.PRNGKey(0), x, train=True)
+                y, _ = blk.apply(variables, x, train=True,
+                                 mutable=["batch_stats"])
+            finally:
+                layers.set_sepconv_impl("auto")
+            return variables, y
+
+        v_f, y_f = run()
+        monkeypatch.setenv("DEEPCAM_FUSED_MIN_ROWS", "64")  # h=8 < 64 -> XLA
+        v_g, y_g = run()
+
+        flat_f = jax.tree_util.tree_leaves_with_path(v_f["params"])
+        flat_g = dict(jax.tree_util.tree_leaves_with_path(v_g["params"]))
+        assert len(flat_f) == len(flat_g)
+        for path, leaf in flat_f:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(flat_g[path]))
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_g),
+                                   rtol=1e-5, atol=1e-5)
