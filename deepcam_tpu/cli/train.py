@@ -83,6 +83,13 @@ def build_parser() -> ap.ArgumentParser:
                     help="write checkpoints from a background thread so the "
                          "step loop never stalls on the ~0.5 GB host fetch "
                          "(save_stop then logs the enqueue, not the publish)")
+    AP.add_argument("--checkpoint_format", type=str, default="msgpack",
+                    choices=["msgpack", "orbax"],
+                    help="msgpack = single-file process-0 save (reference "
+                         "parity); orbax = distributed directory format — "
+                         "every process writes its own shards, async by "
+                         "construction (pod-scale). Restore auto-detects "
+                         "either format from the --checkpoint path.")
     AP.add_argument("--spatial", type=int, default=1,
                     help="Spatial partitioning factor: each sample's H dim is "
                          "sharded over this many ICI-neighbor chips (GSPMD "
@@ -273,7 +280,13 @@ def main(pargs) -> dict:
 
     start_epoch = 0
     if pargs.checkpoint:
-        state, start_epoch = restore_checkpoint(pargs.checkpoint, state)
+        if os.path.isdir(pargs.checkpoint):  # orbax directory format
+            from ..ckpt.orbax_ckpt import restore_checkpoint_orbax
+
+            state, start_epoch = restore_checkpoint_orbax(
+                pargs.checkpoint, state)
+        else:
+            state, start_epoch = restore_checkpoint(pargs.checkpoint, state)
 
     mesh = meshlib.make_mesh(spatial=spatial)
     data_sharding = meshlib.batch_sharding(mesh)
@@ -408,7 +421,25 @@ def main(pargs) -> dict:
     # place state on the mesh (replicated)
     state = jax.device_put(state, meshlib.replicated(mesh))
 
-    ckpt_writer = AsyncCheckpointWriter() if pargs.async_checkpoint else None
+    if pargs.checkpoint_format == "orbax":
+        from ..ckpt.orbax_ckpt import OrbaxCheckpointWriter
+
+        # orbax writes are async by construction; the same writer serves
+        # both --async_checkpoint modes (save() preserves publish order)
+        ckpt_writer = OrbaxCheckpointWriter()
+        if not pargs.async_checkpoint:
+            _orbax_sync = ckpt_writer
+
+            class _SyncShim:
+                def save(self, path, state, epoch):
+                    _orbax_sync.save_sync(path, state, epoch)
+
+                def wait(self):
+                    _orbax_sync.wait()
+
+            ckpt_writer = _SyncShim()
+    else:
+        ckpt_writer = AsyncCheckpointWriter() if pargs.async_checkpoint else None
 
     step = int(state.step)
     epoch = start_epoch

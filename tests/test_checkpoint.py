@@ -124,3 +124,53 @@ def test_async_writer_surfaces_errors(tmp_path):
     with pytest.raises(Exception):
         w.wait()
     w.wait()  # error is consumed; writer is reusable
+
+
+def test_orbax_roundtrip_and_writer(tmp_path):
+    """Orbax directory-format save/restore: same payload contract as the
+    msgpack path, restore into a sharded template (8-dev replicated mesh),
+    plus the async writer's publish-order wait()."""
+    from deepcam_tpu.ckpt.orbax_ckpt import (
+        OrbaxCheckpointWriter,
+        restore_checkpoint_orbax,
+    )
+    from deepcam_tpu.core import mesh as meshlib
+
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 48, 16), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = build_optimizer("Adam", 1e-3)
+    state = create_train_state(model, variables, tx)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+    mesh = meshlib.make_mesh()
+    state = jax.device_put(state, meshlib.replicated(mesh))
+
+    path = str(tmp_path / "model_step_42.cpt")
+    w = OrbaxCheckpointWriter()
+    w.save(path, state, epoch=3)
+    w.wait()
+    import os
+
+    assert os.path.isdir(path)  # directory format -> CLI restore auto-detect
+
+    variables2 = model.init(jax.random.PRNGKey(1), x, train=False)
+    state2 = create_train_state(model, variables2, tx)
+    state2 = jax.device_put(state2, meshlib.replicated(mesh))
+    restored, epoch = restore_checkpoint_orbax(path, state2)
+
+    assert epoch == 3
+    assert int(restored.step) == 42
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored arrays carry the template's sharding (distributed placement)
+    leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    assert leaf.sharding.is_equivalent_to(
+        meshlib.replicated(mesh), leaf.ndim)
