@@ -518,8 +518,9 @@ def _fwd_pallas_s2v2(x, dwk, pwk, *, ab=None, interpret: bool = False):
 
 def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
     """x: UNPADDED (N, H, W, C); g: UNPADDED (N, H/2, W/2, F).  Returns
-    dx (N, H, W, C) in x dtype (written full-res, no interleave), d_dw
-    (3,3,C) fp32, d_pw (C,F) fp32 [, da, db]."""
+    the four quarter-res dx phases (N, H/2, W/2, C) in x dtype (the caller
+    interleaves — see the in-kernel write comment), d_dw (3,3,C) fp32,
+    d_pw (C,F) fp32 [, da, db]."""
     n, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
     f = pwk_t.shape[0]
@@ -536,9 +537,10 @@ def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
         dwk_ref, pwt_ref = refs[idx:idx + 2]
         outs = refs[idx + 2:]
         if affine:
-            dx_ref, ddw_ref, dpw_ref, da_ref, db_ref = outs
+            d00_ref, d01_ref, d10_ref, d11_ref, ddw_ref, dpw_ref, \
+                da_ref, db_ref = outs
         else:
-            dx_ref, ddw_ref, dpw_ref = outs
+            d00_ref, d01_ref, d10_ref, d11_ref, ddw_ref, dpw_ref = outs
         ni = pl.program_id(0)
         hi = pl.program_id(1)
 
@@ -593,14 +595,17 @@ def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
             dx00, dx01 = dx00 * a32, dx01 * a32
             dx10, dx11 = dx10 * a32, dx11 * a32
 
-        # interleave the four phase grads into the full-res tile in VMEM:
-        # rows 2rr from (dx00, dx01), rows 2rr+1 from (dx10, dx11)
-        dt = dx_ref.dtype
-        row_e = jnp.stack([dx00.astype(dt), dx01.astype(dt)],
-                          axis=2).reshape(th, w, c)
-        row_o = jnp.stack([dx10.astype(dt), dx11.astype(dt)],
-                          axis=2).reshape(th, w, c)
-        dx_ref[0] = jnp.stack([row_e, row_o], axis=1).reshape(2 * th, w, c)
+        # Emit the four phase grads quarter-res; the XLA-side `_interleave`
+        # (one inverse-s2d transpose) rebuilds full-res dx.  An in-kernel
+        # interleave was tried first (stack+reshape): the server-side
+        # Mosaic pass rejects the unit-dim reshape it needs
+        # ("infer-vector-layout: unsupported shape cast",
+        # vector<8x72x728> -> vector<8x72x1x728> on v5e, r3 wave 2).
+        dt = d00_ref.dtype
+        d00_ref[0] = dx00.astype(dt)
+        d01_ref[0] = dx01.astype(dt)
+        d10_ref[0] = dx10.astype(dt)
+        d11_ref[0] = dx11.astype(dt)
 
         # depthwise wgrad: the nine forward taps against dd center rows
         def f32(t):
@@ -651,12 +656,16 @@ def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
     operands += [dwk, pwk_t]
 
     out_specs = [
-        pl.BlockSpec((1, 2 * th, w, c), lambda ni, hi: (ni, hi, 0, 0)),
+        _plain_spec(th, w2, c), _plain_spec(th, w2, c),
+        _plain_spec(th, w2, c), _plain_spec(th, w2, c),
         pl.BlockSpec((3, 3, c), lambda ni, hi: (0, 0, 0)),
         pl.BlockSpec((c, f), lambda ni, hi: (0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        jax.ShapeDtypeStruct((n, h2, w2, c), x.dtype),
+        jax.ShapeDtypeStruct((n, h2, w2, c), x.dtype),
+        jax.ShapeDtypeStruct((n, h2, w2, c), x.dtype),
+        jax.ShapeDtypeStruct((n, h2, w2, c), x.dtype),
         jax.ShapeDtypeStruct((3, 3, c), jnp.float32),
         jax.ShapeDtypeStruct((c, f), jnp.float32),
     ]
@@ -704,8 +713,9 @@ def _fs2v2_fwd(x, dwk, pwk, interpret):
 
 def _fs2v2_bwd(interpret, res, g):
     x, dwk, pwk = res
-    dx, ddw, dpw = _bwd_pallas_s2v2(
+    d00, d01, d10, d11, ddw, dpw = _bwd_pallas_s2v2(
         x, g.astype(x.dtype), dwk, pwk.T, interpret=interpret)
+    dx = _interleave(d00, d01, d10, d11)
     return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
 
 
@@ -736,8 +746,9 @@ def _fs2av2_fwd(x, a, b, dwk, pwk, interpret):
 def _fs2av2_bwd(interpret, res, g):
     x, a, b, dwk, pwk = res
     ab = (a.reshape(1, -1), b.reshape(1, -1))
-    dx, ddw, dpw, da, db = _bwd_pallas_s2v2(
+    d00, d01, d10, d11, ddw, dpw, da, db = _bwd_pallas_s2v2(
         x, g.astype(x.dtype), dwk, pwk.T, ab=ab, interpret=interpret)
+    dx = _interleave(d00, d01, d10, d11)
     return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
             ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
 

@@ -132,8 +132,19 @@ def make_train_step(
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
 
+    # DEEPCAM_PIN_LOGITS=1 pins the logits tensor as materialized (an
+    # optimization barrier between the model and the loss).  Hypothesis
+    # under test (r3 wave 3): the no-IoU step measured SLOWER than the
+    # with-IoU step (22.64 vs 23.98) because without argmax as a second
+    # consumer XLA folds the block-logits conv into the loss reduction
+    # fusion, knocking it off the MXU; the barrier restores the
+    # materialization without paying for the IoU counts.
+    pin_logits = os.environ.get("DEEPCAM_PIN_LOGITS", "0") == "1"
+
     def loss_fn(params, batch_stats, x, y):
         logits, updates = apply_fn(params, batch_stats, x)
+        if pin_logits:
+            logits = lax.optimization_barrier(logits)
         loss = weighted_ce_loss(
             logits, _block_labels(logits, y), class_weights, fpw_1, fpw_2)
         return loss, (logits, updates["batch_stats"])

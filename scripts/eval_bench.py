@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 EVAL_SAMPLES = int(os.environ.get("EVAL_SAMPLES", "16"))
 H = int(os.environ.get("EVAL_H", "768"))   # CPU smoke: EVAL_H=64 EVAL_W=96
 W = int(os.environ.get("EVAL_W", "1152"))
