@@ -73,6 +73,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _vmem_limit() -> int:
+    """Scoped-VMEM limit handed to Mosaic (DEEPCAM_FUSED_VMEM_LIMIT_MB,
+    default 100).  v5e has 128 MiB of VMEM; raising the limit lets bigger
+    row tiles (DEEPCAM_FUSED_TH > 16) compile for A/B study."""
+    import os
+
+    return int(os.environ.get("DEEPCAM_FUSED_VMEM_LIMIT_MB", "100")) << 20
+
+
 def _pick_row_tile(h: int, w: int, c: int, f: int, d: int) -> int:
     """Rows per grid step: the largest divisor of h whose estimated
     backward working set fits the VMEM budget.
@@ -334,7 +343,7 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=interpret,
     )(*operands)
@@ -508,7 +517,7 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=interpret,
     )(*operands)
