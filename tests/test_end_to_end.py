@@ -130,7 +130,10 @@ def test_resume_from_checkpoint(tmp_path):
         "--data_dir_prefix", root,
         "--output_dir", outdir,
         "--local_batch_size", "1",
-        "--logging_frequency", "1",
+        # logging_frequency 2 exercises BOTH compiled step variants across
+        # the resume: the loss-only hot step (odd steps) and the metrics
+        # step with train IoU (even, logging steps)
+        "--logging_frequency", "2",
         "--validation_frequency", "100",
         "--save_frequency", "1",
         "--amp_opt_level", "O0",
