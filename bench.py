@@ -113,14 +113,14 @@ def main():
     # BENCH_REMAT=1: rematerialized step (jax.checkpoint) — trades ~30%
     # recompute for activation memory, for batch-scaling experiments past
     # the b8 OOM point.
-    # BENCH_IOU=1 re-adds the per-step train-IoU computation.  The default
-    # measures the production hot path: the REFERENCE computes IoU only
-    # inside its logging branch (train_hdf5_ddp.py:404-410), and the CLI
-    # mirrors that with a separate metrics-step variant on logging steps.
+    # BENCH_IOU=0 drops the per-step train-IoU — and measures SLOWER
+    # (r3 wave-3 A/B/A: 23.94/23.96 with vs 22.61/22.63 without; the
+    # argmax consumer improves XLA's schedule), so the default matches the
+    # production step, which keeps IoU on every step for the same reason.
     step_fn = make_train_step(
         model, tx, list(class_weights()), mesh, fpw_1=FPW_1, fpw_2=FPW_2,
         remat=os.environ.get("BENCH_REMAT") == "1",
-        with_iou=os.environ.get("BENCH_IOU", "0") == "1",
+        with_iou=os.environ.get("BENCH_IOU", "1") == "1",
     )
 
     batch = LOCAL_BATCH * n_chips

@@ -337,19 +337,20 @@ def main(pargs) -> dict:
             model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
         )
     else:
-        # Two step variants, reference-parity split: the hot step computes
-        # loss only (the reference's hot loop has no IoU — argmax +
-        # compute_score live inside its logging branch,
-        # train_hdf5_ddp.py:404-410); the metrics step adds the train IoU
-        # and runs only on logging steps.
+        # One step for hot AND logging steps, WITH the train IoU.  A
+        # loss-only hot step was built to mirror the reference (its hot
+        # loop computes IoU only in the logging branch) — and measured
+        # ~5.6% SLOWER on v5e (r3 wave 3 A/B/A: with-IoU 23.94/23.96 vs
+        # without 22.61/22.63/22.64 samples/s/chip, optimization-barrier
+        # variant included): the argmax consumer materializes the block
+        # logits and XLA schedules the surrounding region better.  The
+        # with_iou=False variant stays available in make_train_step for
+        # study (DEEPCAM_PIN_LOGITS likewise).
         train_step = make_train_step(
-            model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
-            remat=pargs.remat, with_iou=False,
-        )
-        train_step_metrics = make_train_step(
             model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
             remat=pargs.remat, with_iou=True,
         )
+        train_step_metrics = train_step
         eval_step = make_eval_step(
             model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
         )
