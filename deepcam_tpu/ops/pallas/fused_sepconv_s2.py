@@ -580,16 +580,26 @@ def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
         dx11 = (ddn_s * k32[0, 0] + ddn * k32[0, 2]
                 + ddc_s * k32[2, 0] + ddc * k32[2, 2])
 
+        # Lane-wise Σ over (rows, w2) as an MXU dot: the pair-reshape phase
+        # selects leave sublane-offset layouts on the taps, and the
+        # on-device Mosaic pass rejects float ADD multi_reductions over
+        # offset dims ("input layout must have zero offsets...", r3 wave
+        # 3); dots force clean operand relayouts.
+        ones_row = jnp.ones((1, th * w2), jnp.float32)
+
+        def lane_sum(t):
+            return jnp.dot(ones_row, t.reshape(th * w2, t.shape[-1]),
+                           preferred_element_type=jnp.float32)[0]
+
         if affine:
             x_c = (o0r.astype(jnp.float32), o1r.astype(jnp.float32),
                    e0r[1:].astype(jnp.float32), e1r[1:].astype(jnp.float32))
             da_ref[...] += sum(
-                jnp.sum(dx * xc, axis=(0, 1))
+                lane_sum(dx * xc)
                 for dx, xc in zip((dx00, dx01, dx10, dx11), x_c)
             )[None, :]
             db_ref[...] += sum(
-                jnp.sum(dx, axis=(0, 1))
-                for dx in (dx00, dx01, dx10, dx11)
+                lane_sum(dx) for dx in (dx00, dx01, dx10, dx11)
             )[None, :]
             a32 = a_ref[0].astype(jnp.float32)
             dx00, dx01 = dx00 * a32, dx01 * a32
@@ -619,7 +629,7 @@ def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
             ((2, 2), he1[1:]),
         )
         for (i, j), tap in taps:
-            ddw_ref[i, j, :] += jnp.sum(f32(tap) * ddc, axis=(0, 1))
+            ddw_ref[i, j, :] += lane_sum(f32(tap) * ddc)
 
         # pointwise wgrad: recompute d (rounded exactly as the forward)
         acc = (

@@ -1,0 +1,71 @@
+"""Hardware compile probe for fused_sepconv_s2_v2 — kernel-only, fast.
+
+Compiles + executes ONE v2 fwd+bwd at each real tail shape (block1/2/3,
+plain and affine) without building the whole model, so server-side Mosaic
+failures (which local AOT lowering cannot catch — see CLAUDE.md) surface in
+~2 min instead of a full bench compile.  Prints PROBE lines; exits nonzero
+on the first failure.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/deepcam_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepcam_tpu.ops.pallas.fused_sepconv_s2 import (
+        fused_sepconv_s2_affine_v2,
+        fused_sepconv_s2_v2,
+    )
+
+    rng = np.random.RandomState(0)
+    shapes = ((384, 576, 128, 128), (192, 288, 256, 256), (96, 144, 728, 728))
+    n = int(os.environ.get("PROBE_BATCH", "4"))
+    ok = True
+    for (h, w, c, f) in shapes:
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.bfloat16)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.bfloat16)
+        pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.bfloat16)
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.bfloat16)
+        b = jnp.asarray(0.1 * rng.randn(c), jnp.bfloat16)
+
+        def loss_plain(x, d, p):
+            return fused_sepconv_s2_v2(x, d, p).astype(jnp.float32).sum()
+
+        def loss_aff(x, a, b, d, p):
+            return fused_sepconv_s2_affine_v2(
+                x, a, b, d, p).astype(jnp.float32).sum()
+
+        for tag, fn, args in (
+            ("plain", jax.jit(jax.grad(loss_plain, argnums=(0, 1, 2))),
+             (x, dwk, pwk)),
+            ("affine", jax.jit(jax.grad(loss_aff, argnums=(0, 1, 2, 3, 4))),
+             (x, a, b, dwk, pwk)),
+        ):
+            t0 = time.perf_counter()
+            try:
+                out = fn(*args)
+                s = float(jnp.asarray(out[0]).astype(jnp.float32).sum())
+                dt = time.perf_counter() - t0
+                print(f"PROBE ({h},{w},{c},{f}) {tag}: OK "
+                      f"({dt:.1f}s, dx_sum={s:.3e})", flush=True)
+            except Exception as e:
+                ok = False
+                print(f"PROBE ({h},{w},{c},{f}) {tag}: FAIL "
+                      f"{type(e).__name__}: {str(e)[:500]}", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
