@@ -797,6 +797,14 @@ class SeparableConv2dSame(nn.Module):
         # work (the row-tiled grid degenerates at 24 rows).  Opt-in
         # pending hardware A/B (r3 wave 3).
         min_rows = int(os.environ.get("DEEPCAM_FUSED_MIN_ROWS", "0"))
+        # DEEPCAM_FUSED_MAX_DIL=N routes dilation>N units back to XLA.
+        # The exit-flow d=2 units share the middle flow's 48-row extent, so
+        # MIN_ROWS cannot isolate them; the dilation gate can (exit conv3-5
+        # are the model's only d=2 sepconvs at os=16).  Their d=2 halo
+        # shrinks the VMEM-budgeted row tile and the 2048-lane fp32 tap
+        # loop runs on the VPU, so per-call cost is ~10x the inherent work
+        # (r3 trace: 1.3-1.5 ms/call).  Opt-in pending hardware A/B.
+        max_dil = int(os.environ.get("DEEPCAM_FUSED_MAX_DIL", "99"))
         if (
             fused
             and self.kernel_size == 3
@@ -804,6 +812,7 @@ class SeparableConv2dSame(nn.Module):
             and not self.use_bias
             and in_ch >= min_ch
             and x.shape[1] >= min_rows
+            and self.dilation <= max_dil
         ):
             from ..ops.pallas.fused_sepconv import (
                 fused_sepconv,

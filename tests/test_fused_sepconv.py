@@ -490,3 +490,38 @@ class TestMinRowsGate:
                                           np.asarray(flat_g[path]))
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_g),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_max_dil_routes_to_xla(self, monkeypatch):
+        """DEEPCAM_FUSED_MAX_DIL=1 sends the exit-flow d=2 units to XLA
+        while dilation-1 units stay fused; param tree and numerics match."""
+        from deepcam_tpu.models import layers
+
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(1, 8, 12, 16), jnp.float32)
+        from deepcam_tpu.models.xception import XceptionBlock
+
+        blk = XceptionBlock(out_ch=16, reps=3, stride=1, dilation=2,
+                            dtype=jnp.float32)
+
+        def run():
+            layers.set_sepconv_impl("fused")
+            try:
+                variables = blk.init(jax.random.PRNGKey(0), x, train=True)
+                y, _ = blk.apply(variables, x, train=True,
+                                 mutable=["batch_stats"])
+            finally:
+                layers.set_sepconv_impl("auto")
+            return variables, y
+
+        v_f, y_f = run()
+        monkeypatch.setenv("DEEPCAM_FUSED_MAX_DIL", "1")  # d=2 > 1 -> XLA
+        v_g, y_g = run()
+
+        flat_f = jax.tree_util.tree_leaves_with_path(v_f["params"])
+        flat_g = dict(jax.tree_util.tree_leaves_with_path(v_g["params"]))
+        assert len(flat_f) == len(flat_g)
+        for path, leaf in flat_f:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(flat_g[path]))
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_g),
+                                   rtol=1e-5, atol=1e-5)
