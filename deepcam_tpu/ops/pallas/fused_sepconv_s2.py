@@ -354,21 +354,38 @@ def _bwd_pallas_s2(x00, x01, x10p, x11p, gp, dwk, pwk_t, *, ab=None,
 # whose LAST tile clamps (bottom halo).
 
 
-def _pick_row_tile_s2v2(h2: int, w2: int, c: int, f: int) -> int:
+def _pick_row_tile_s2v2(h2: int, w2: int, c: int, f: int,
+                        affine: bool = False) -> int:
     """Half-res output rows per grid step: largest divisor of h2 (strictly
     below h2 — the 2·th+1 full-res window must fit the unpadded extent)
-    whose estimated backward working set fits the VMEM budget."""
+    whose estimated backward working set fits the VMEM budget.
+
+    ``affine`` budgets the BN-folded variant's extras: a second
+    window-sized tile (``ut = xt·a + b``) and a duplicated tap-split
+    chain live alongside the raw taps in the backward.  r3 wave-5
+    hardware probe: plain th=16 at block1 (384,576,128) measured
+    107.8 MiB scoped of the 127 MiB limit and ran; the affine form at
+    the same th died in the server-side Mosaic compile
+    (tpu_compile_helper exit 1) while block2/3 shapes — whose windows
+    are half the bytes — passed both forms.  Shrinking th for affine
+    (block1 → 12) is the remedy."""
     import os
 
     cap = int(os.environ.get("DEEPCAM_FUSED_S2_TH", "16"))
     budget = int(os.environ.get("DEEPCAM_FUSED_VMEM_MB", "96")) << 20
+    if affine:
+        # The est→measured scoped-VMEM ratio is ~3x and not uniform across
+        # shapes (block1 affine th=16 fails where the byte-identical block2
+        # form passes) — halve the budget rather than trust the model.
+        budget = int(os.environ.get(
+            "DEEPCAM_FUSED_S2_AFF_VMEM_MB", "48")) << 20
     w = 2 * w2
 
     def est_bytes(t: int) -> int:
         cl = -(-c // 128) * 128
         fl = -(-f // 128) * 128
         f32, bf16 = 4, 2
-        return (
+        base = (
             bf16 * 2 * (2 * t + 1) * w * cl      # x window double-buffered
             + bf16 * 2 * (t + 1) * w2 * fl       # g window double-buffered
             + f32 * (t + 1) * w2 * cl            # dd
@@ -377,6 +394,12 @@ def _pick_row_tile_s2v2(h2: int, w2: int, c: int, f: int) -> int:
             + f32 * cl * fl + bf16 * cl * fl     # dpw acc + pw^T
             + bf16 * 2 * 2 * t * w * cl          # dx full-res out dbl-buf
         )
+        if affine:
+            base += (
+                bf16 * (2 * t + 1) * w * cl      # ut affine window copy
+                + 4 * f32 * t * w2 * cl          # duplicated phase taps
+            )
+        return base
 
     best = 1
     for t in range(1, min(cap, h2 - 1) + 1):
@@ -452,8 +475,8 @@ def _fwd_pallas_s2v2(x, dwk, pwk, *, ab=None, interpret: bool = False):
     n, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
     f = pwk.shape[-1]
-    th = _pick_row_tile_s2v2(h2, w2, c, f)
     affine = ab is not None
+    th = _pick_row_tile_s2v2(h2, w2, c, f, affine=affine)
 
     def kernel(*refs):
         if affine:
@@ -524,9 +547,9 @@ def _bwd_pallas_s2v2(x, g, dwk, pwk_t, *, ab=None, interpret: bool = False):
     n, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
     f = pwk_t.shape[0]
-    th = _pick_row_tile_s2v2(h2, w2, c, f)
-    nh = h2 // th
     affine = ab is not None
+    th = _pick_row_tile_s2v2(h2, w2, c, f, affine=affine)
+    nh = h2 // th
 
     def kernel(*refs):
         idx = 2

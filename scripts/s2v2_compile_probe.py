@@ -47,12 +47,32 @@ def main():
             return fused_sepconv_s2_affine_v2(
                 x, a, b, d, p).astype(jnp.float32).sum()
 
-        for tag, fn, args in (
+        # PROBE_STAGE bisects the r3-wave-5 finding (plain grad compiles
+        # and runs; affine grad dies server-side with tpu_compile_helper
+        # exit 1 and no diagnostic): "fwd" compiles the affine FORWARD
+        # kernel alone — if it passes, the failure is in the affine
+        # backward kernel (da/db accumulation or the second tap-split
+        # chain); "bwd" compiles grad-wrt-x-only as a cheaper grad probe
+        # (same kernels, smaller XLA program around them).
+        stage = os.environ.get("PROBE_STAGE", "grad")
+        jobs = [
             ("plain", jax.jit(jax.grad(loss_plain, argnums=(0, 1, 2))),
              (x, dwk, pwk)),
             ("affine", jax.jit(jax.grad(loss_aff, argnums=(0, 1, 2, 3, 4))),
              (x, a, b, dwk, pwk)),
-        ):
+        ]
+        if stage == "fwd":
+            jobs = [
+                ("plain-fwd", jax.jit(fused_sepconv_s2_v2), (x, dwk, pwk)),
+                ("affine-fwd", jax.jit(fused_sepconv_s2_affine_v2),
+                 (x, a, b, dwk, pwk)),
+            ]
+        elif stage == "bwd":
+            jobs = [
+                ("affine-dx-only", jax.jit(jax.grad(loss_aff, argnums=0)),
+                 (x, a, b, dwk, pwk)),
+            ]
+        for tag, fn, args in jobs:
             t0 = time.perf_counter()
             try:
                 out = fn(*args)
