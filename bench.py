@@ -20,6 +20,10 @@ import time
 # Our own north-star number to beat (samples/s/chip); updated as rounds land.
 # r1 initial implementation measured 9.70; current best 14.22 (PERF.md).
 BENCH_BASELINE = 9.70
+# MFU accounting (VERDICT r3 item 8): fwd+bwd ≈ 2.7 TFLOP/sample (PERF.md),
+# v5e bf16 peak 197 TF/s.
+FLOP_PER_SAMPLE_TF = 2.7
+PEAK_TFLOPS = 197.0
 
 import os as _os
 
@@ -159,11 +163,19 @@ def main():
     samples_per_sec = MEASURE_STEPS * batch / dt
     per_chip = samples_per_sec / n_chips
     vs = 1.0 if not BENCH_BASELINE else per_chip / BENCH_BASELINE
+    # MFU accounting: analytic model cost ≈2.7 TFLOP/sample fwd+bwd
+    # (PERF.md derivation; analytic counts are the MFU convention — the
+    # fused Pallas custom-calls are invisible to XLA cost analysis).
+    # v5e peak is 197 TF/s bf16, so the single-chip physical ceiling is
+    # ≈73 samples/s and pct_peak tracks how far each round still is.
+    tflops = per_chip * FLOP_PER_SAMPLE_TF
     print(json.dumps({
         "metric": "train_samples_per_sec_per_chip",
         "value": round(per_chip, 4),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs, 4),
+        "tflops_per_sec": round(tflops, 2),
+        "pct_peak": round(100.0 * tflops / PEAK_TFLOPS, 2),
     }))
 
 

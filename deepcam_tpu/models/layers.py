@@ -771,6 +771,16 @@ class SeparableConv2dSame(nn.Module):
                 (1, 1, in_ch, self.features), self.kernel_init,
                 self.param_dtype, name="pointwise",
             )()
+            # DEEPCAM_FUSED_S2_PLAIN_W=N (opt-in): shapes at least N
+            # columns wide run the folded BN-apply as a separate XLA FMA
+            # and take the PLAIN kernel — the fallback for the block1
+            # (384,576) affine form if the server-side Mosaic compile
+            # still rejects it (plain compiles+runs there; r3 wave 5).
+            plain_w = int(os.environ.get("DEEPCAM_FUSED_S2_PLAIN_W", "0"))
+            if bn_fold is not None and plain_w and x.shape[2] >= plain_w:
+                a, b = bn_fold
+                x = x * a.astype(x.dtype) + b.astype(x.dtype)
+                bn_fold = None
             if bn_fold is not None:
                 a, b = bn_fold
                 y = fused_sepconv_s2_affine(

@@ -366,20 +366,21 @@ def _pick_row_tile_s2v2(h2: int, w2: int, c: int, f: int,
     hardware probe: plain th=16 at block1 (384,576,128) measured
     107.8 MiB scoped of the 127 MiB limit and ran; the affine form at
     the same th died in the server-side Mosaic compile
-    (tpu_compile_helper exit 1) while block2/3 shapes — whose windows
-    are half the bytes — passed both forms.  Shrinking th for affine
-    (block1 → 12) is the remedy."""
+    (tpu_compile_helper exit 1) while block2/3 — whose working sets are
+    near-byte-identical but whose SUBLANE extent (full-res row width w)
+    is half/quarter — passed both forms at th=16.  The byte model
+    therefore cannot isolate the failure; key the affine demotion on
+    the sublane extent instead: affine shapes with w ≥
+    ``DEEPCAM_FUSED_S2_AFF_W`` (default 512, i.e. block1's 576 only)
+    get their cap lowered to ``DEEPCAM_FUSED_S2_AFF_TH`` (default 12).
+    block2/3 affine keep the hardware-validated th=16."""
     import os
 
     cap = int(os.environ.get("DEEPCAM_FUSED_S2_TH", "16"))
     budget = int(os.environ.get("DEEPCAM_FUSED_VMEM_MB", "96")) << 20
-    if affine:
-        # The est→measured scoped-VMEM ratio is ~3x and not uniform across
-        # shapes (block1 affine th=16 fails where the byte-identical block2
-        # form passes) — halve the budget rather than trust the model.
-        budget = int(os.environ.get(
-            "DEEPCAM_FUSED_S2_AFF_VMEM_MB", "48")) << 20
     w = 2 * w2
+    if affine and w >= int(os.environ.get("DEEPCAM_FUSED_S2_AFF_W", "512")):
+        cap = min(cap, int(os.environ.get("DEEPCAM_FUSED_S2_AFF_TH", "12")))
 
     def est_bytes(t: int) -> int:
         cl = -(-c // 128) * 128

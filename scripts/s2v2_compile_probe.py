@@ -33,6 +33,7 @@ def main():
     shapes = ((384, 576, 128, 128), (192, 288, 256, 256), (96, 144, 728, 728))
     n = int(os.environ.get("PROBE_BATCH", "4"))
     ok = True
+    n_jobs = n_ok = 0
     for (h, w, c, f) in shapes:
         x = jnp.asarray(rng.randn(n, h, w, c), jnp.bfloat16)
         dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.bfloat16)
@@ -73,17 +74,29 @@ def main():
                  (x, a, b, dwk, pwk)),
             ]
         for tag, fn, args in jobs:
+            n_jobs += 1
             t0 = time.perf_counter()
             try:
                 out = fn(*args)
-                s = float(jnp.asarray(out[0]).astype(jnp.float32).sum())
+                # fwd stage returns the output array; grad stages a tuple
+                # whose [0] is dx — label accordingly so bisect logs read
+                # right, and sum the WHOLE array either way.
+                arr = out if stage == "fwd" else out[0]
+                s = float(jnp.asarray(arr).astype(jnp.float32).sum())
+                label = "out_sum" if stage == "fwd" else "dx_sum"
                 dt = time.perf_counter() - t0
+                n_ok += 1
                 print(f"PROBE ({h},{w},{c},{f}) {tag}: OK "
-                      f"({dt:.1f}s, dx_sum={s:.3e})", flush=True)
+                      f"({dt:.1f}s, {label}={s:.3e})", flush=True)
             except Exception as e:
                 ok = False
                 print(f"PROBE ({h},{w},{c},{f}) {tag}: FAIL "
                       f"{type(e).__name__}: {str(e)[:500]}", flush=True)
+    # Final sentinel: queue scripts gate the FUSED_S2=2 bench arm on
+    # "PROBE DONE stage=grad ok=1" so a wedged/killed partial run (or a
+    # bisect-stage run) can never unlock the arm (ADVICE r3).
+    print(f"PROBE DONE stage={stage} ok={int(ok)} passed={n_ok}/{n_jobs}",
+          flush=True)
     return 0 if ok else 1
 
 

@@ -348,3 +348,48 @@ def test_v2_bf16_forward_matches_v1():
     y2p = fused_sepconv_s2_v2(x, dwk, pwk, True)
     np.testing.assert_array_equal(np.asarray(y1p, np.float32),
                                   np.asarray(y2p, np.float32))
+
+
+def test_plain_w_fallback_matches_affine(monkeypatch):
+    """DEEPCAM_FUSED_S2_PLAIN_W=N: wide (>= N columns) affine tails run the
+    BN-apply as an XLA FMA + the PLAIN v2 kernel — the block1 fallback for
+    the server-side Mosaic compile failure (r3 wave 5).  Output and grads
+    must match the in-kernel affine form."""
+    from deepcam_tpu.models.layers import SeparableConv2dSame, \
+        set_sepconv_impl
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 16, 576, 8), jnp.float32)
+    a = jnp.asarray(rng.rand(8) + 0.5, jnp.float32)
+    b = jnp.asarray(0.1 * rng.randn(8), jnp.float32)
+    mod = SeparableConv2dSame(features=8, kernel_size=3, stride=2,
+                              dtype=jnp.float32)
+
+    def run(plain_w):
+        monkeypatch.setenv("DEEPCAM_FUSED_S2", "2")
+        if plain_w:
+            monkeypatch.setenv("DEEPCAM_FUSED_S2_PLAIN_W", plain_w)
+        else:
+            monkeypatch.delenv("DEEPCAM_FUSED_S2_PLAIN_W", raising=False)
+        set_sepconv_impl("fused")
+        try:
+            v = mod.init(jax.random.PRNGKey(0), x, bn_fold=(a, b))
+
+            def loss(p, xx):
+                return jnp.sum(
+                    mod.apply({"params": p}, xx, bn_fold=(a, b)) ** 2)
+
+            val, grads = jax.value_and_grad(loss, argnums=(0, 1))(
+                v["params"], x)
+            return val, grads
+        finally:
+            set_sepconv_impl("auto")
+            monkeypatch.delenv("DEEPCAM_FUSED_S2_PLAIN_W", raising=False)
+
+    val_aff, g_aff = run(None)
+    val_pw, g_pw = run("512")
+    np.testing.assert_allclose(float(val_aff), float(val_pw), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-4),
+        g_aff, g_pw)
