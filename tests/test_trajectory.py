@@ -19,7 +19,13 @@ Two trajectories are proven:
   FusedLAMB (the reference's large-batch optimizer, train_hdf5_ddp.py:217)
   fed the SAME grads; params must track through warmup + milestone.
 
-``TRAJ_STEPS`` overrides the horizon (default 50).
+``TRAJ_STEPS`` overrides the horizon (default 50).  The AdamW trajectory
+additionally compares the EVAL-mode IoU curve (the quantity the reference's
+acceptance test thresholds, train_hdf5_ddp.py:505-507): every
+``TRAJ_EVAL_EVERY`` steps both stacks run eval-mode inference (running BN
+stats) on a fixed held-out batch and their per-sample mean IoUs — computed
+by the same metric (metric parity is proven separately in
+test_losses_metrics.py) — must track.
 """
 
 import os
@@ -108,7 +114,29 @@ def test_adamw_trajectory_tracks_reference(ref_pkg):
                             weight_decay=wd)
     w_t = torch.tensor(weights, dtype=torch.float32)
 
-    ours_loss, ref_loss = [], []
+    from deepcam_tpu.train.metrics import per_sample_iou
+
+    eval_every = int(os.environ.get("TRAJ_EVAL_EVERY", "10"))
+    (xv, yv) = _batches(1, batch=4, seed=99)[0]
+    xv_t = torch.from_numpy(np.transpose(xv, (0, 3, 1, 2)).copy())
+
+    def eval_iou_ours(state):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(xv), train=False)
+        return float(jnp.mean(per_sample_iou(
+            jnp.argmax(logits, axis=-1), jnp.asarray(yv))))
+
+    def eval_iou_ref():
+        net.eval()
+        with torch.no_grad():
+            out = net(xv_t)  # NCHW
+        net.train()
+        pred = out.argmax(dim=1).numpy()
+        return float(jnp.mean(per_sample_iou(
+            jnp.asarray(pred), jnp.asarray(yv))))
+
+    ours_loss, ref_loss, iou_pairs = [], [], []
     for i, (x, y) in enumerate(_batches(N_STEPS)):
         state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y))
         ours_loss.append(float(metrics["loss"]))
@@ -125,6 +153,8 @@ def test_adamw_trajectory_tracks_reference(ref_pkg):
         loss.backward()
         opt.step()
         ref_loss.append(float(loss))
+        if (i + 1) % eval_every == 0:
+            iou_pairs.append((i + 1, eval_iou_ours(state), eval_iou_ref()))
 
     ours = np.asarray(ours_loss)
     ref = np.asarray(ref_loss)
@@ -140,6 +170,17 @@ def test_adamw_trajectory_tracks_reference(ref_pkg):
     assert rel.max() < 0.25, f"trajectory diverged: max rel {rel.max():.4f} at step {rel.argmax()}"
     # same post-milestone behavior (both sides took the 10x LR cut)
     assert abs(ours[-5:].mean() - ref[-5:].mean()) / ref[-5:].mean() < 0.1
+
+    # eval-IoU curve (the reference's acceptance quantity): both stacks'
+    # eval-mode IoUs on the held-out batch must track at every sample point
+    # and end above the untrained floor (the stream is learnable).
+    assert iou_pairs, "no eval points sampled — check TRAJ_EVAL_EVERY"
+    for step, iou_o, iou_r in iou_pairs:
+        assert abs(iou_o - iou_r) < 0.05, (
+            f"eval IoU diverged at step {step}: ours {iou_o:.4f} "
+            f"vs ref {iou_r:.4f}\nfull curve: {iou_pairs}")
+    print("IOU_CURVE " + " ".join(
+        f"{s}:{o:.4f}/{r:.4f}" for s, o, r in iou_pairs))
 
 
 @pytest.mark.slow
