@@ -112,8 +112,10 @@ def test_fullres_blockloss_grads_match_reference(ref_module):
         sys.path.remove(REF)
 
     model = DeepLabv3plus(n_classes=3, output_stride=16, dtype=jnp.float32)
-    x_np = np.random.RandomState(4).rand(1, H, W, 16).astype(np.float32)
-    y_np = np.random.RandomState(5).randint(0, 3, size=(1, H, W))
+    # batch 2 = the reference's training batch; torch BN rejects batch 1 in
+    # train mode at the ASPP global-pool branch ((1, 256, 1, 1))
+    x_np = np.random.RandomState(4).rand(2, H, W, 16).astype(np.float32)
+    y_np = np.random.RandomState(5).randint(0, 3, size=(2, H, W))
     variables = model.init(jax.random.PRNGKey(11), jnp.asarray(x_np),
                            train=False)
     Wc = list(class_weights())
@@ -159,7 +161,9 @@ def test_fullres_blockloss_grads_match_reference(ref_module):
     checks = [
         ("conv1", ours["xception"]["conv1"]["kernel"],
          net.xception_features.conv1.weight, (2, 3, 1, 0), 0.999),
-        ("block1.dw", ours["xception"]["block1"]["sepconv1"]["depthwise"]["kernel"],
+        # block1 has no leading ReLU (start_with_relu=False) so rep[0] is
+        # its first sepconv — our sepconv0
+        ("block1.dw", ours["xception"]["block1"]["sepconv0"]["depthwise"]["kernel"],
          net.xception_features.block1.rep[0].conv1.weight, (2, 3, 1, 0), 0.999),
         ("block8.dw", ours["xception"]["block8"]["sepconv1"]["depthwise"]["kernel"],
          net.xception_features.block8.rep[4].conv1.weight, (2, 3, 1, 0), 0.999),
