@@ -523,6 +523,20 @@ def bn_fold_active() -> bool:
     return _BN_FOLD
 
 
+def boundary_fold_active() -> bool:
+    """Middle-flow block-boundary fold (DEEPCAM_BOUNDARY_FOLD=1, opt-in
+    pending the TPU A/B): the chain-final BN-apply + residual add + next
+    block's leading ReLU run inside the next block's unit-0 kernel, which
+    also emits the residual stream (ops/pallas/fused_sepconv.py boundary
+    variant).  Requires the BN-apply fold (the chain-final BN must hand
+    its (a, b) forward).  Numerics are the same bf16 chain either way;
+    the unfused/CPU path computes it as identical XLA elementwise ops."""
+    import os
+
+    return (os.environ.get("DEEPCAM_BOUNDARY_FOLD", "0") == "1"
+            and bn_fold_active())
+
+
 # Emit BN statistics (partial Σy/Σy²) from the fused sepconv kernel and
 # feed them to the following BatchNorm2d (``stats=``) instead of re-reading
 # the sepconv output with two full reduction passes (train mode only —
@@ -720,7 +734,8 @@ class SeparableConv2dSame(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, bn_fold=None, emit_stats: bool = False):
+    def __call__(self, x: Array, bn_fold=None, emit_stats: bool = False,
+                 boundary=None):
         """``bn_fold`` (optional) is the ``(a, b)`` pair returned by the
         preceding ``BatchNorm2d(..., fold=True)``: the BN-apply
         ``x*a + b`` runs inside the fused kernel on TPU (one less HBM
@@ -730,74 +745,81 @@ class SeparableConv2dSame(nn.Module):
         ``emit_stats=True`` changes the return to ``(y, stats)`` where
         ``stats`` is the fused kernel's partial ``(Σy, Σy²)`` pair for the
         following ``BatchNorm2d(..., stats=...)`` — or None when this call
-        lowered to the unfused path (the BN then reduces y itself)."""
+        lowered to the unfused path (the BN then reduces y itself).
+
+        ``boundary=((a, b), skip)`` (block-boundary fold, see
+        ``XceptionBlock``): ``x`` is then the PREVIOUS block's chain-final
+        raw pointwise output, and this unit consumes
+        ``r = relu(x*a + b + skip)`` — the boundary chain computed
+        in-kernel on TPU (ops/pallas/fused_sepconv.py boundary variant) or
+        as the identical XLA elementwise chain otherwise.  The return
+        becomes a 3-tuple ``(y, stats_or_None, r)`` — r is the residual
+        stream the enclosing block's skip path uses."""
         import os
 
         in_ch = x.shape[-1]
         fused, interpret = _fused_sepconv_active()
-        # Stride-2 tails through the phase-form fused kernel
-        # (ops/pallas/fused_sepconv_s2.py) — opt-in DEEPCAM_FUSED_S2=1
-        # pending the TPU A/B.  Tails are bare (no pre-ReLU); the folded
-        # BN-apply rides along when bn_fold hands one in.
-        if (
-            fused
-            and self.kernel_size == 3
-            and self.stride == 2
-            and self.dilation == 1
-            and not self.use_bias
-            and not self.pre_relu
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-            and os.environ.get("DEEPCAM_FUSED_S2", "0") in ("1", "2")
-        ):
-            # "1" = v1 (XLA-side phase split/interleave glue); "2" = v2
-            # (in-kernel phase split over the full-res operand — no glue)
-            if os.environ.get("DEEPCAM_FUSED_S2") == "2" and x.shape[1] >= 8:
-                from ..ops.pallas.fused_sepconv_s2 import (
-                    fused_sepconv_s2_v2 as fused_sepconv_s2,
-                    fused_sepconv_s2_affine_v2 as fused_sepconv_s2_affine,
-                )
-            else:
-                from ..ops.pallas.fused_sepconv_s2 import (
-                    fused_sepconv_s2,
-                    fused_sepconv_s2_affine,
+        if boundary is not None:
+            assert (self.kernel_size == 3 and self.stride == 1
+                    and not self.use_bias and not self.pre_relu
+                    and bn_fold is None)
+            (ba, bb), bskip = boundary
+            min_ch = int(os.environ.get("DEEPCAM_FUSED_MIN_CH", "0"))
+            min_rows = int(os.environ.get("DEEPCAM_FUSED_MIN_ROWS", "0"))
+            max_dil = int(os.environ.get("DEEPCAM_FUSED_MAX_DIL", "99"))
+            if (fused and in_ch >= min_ch and x.shape[1] >= min_rows
+                    and self.dilation <= max_dil):
+                from ..ops.pallas.fused_sepconv import (
+                    fused_sepconv_boundary,
+                    fused_sepconv_boundary_stats,
                 )
 
-            dwk = _KernelParam(
-                (3, 3, 1, in_ch), self.kernel_init, self.param_dtype,
-                name="depthwise",
-            )()
-            pwk = _KernelParam(
-                (1, 1, in_ch, self.features), self.kernel_init,
-                self.param_dtype, name="pointwise",
-            )()
-            # DEEPCAM_FUSED_S2_PLAIN_W=N (opt-in): shapes at least N
-            # columns wide run the folded BN-apply as a separate XLA FMA
-            # and take the PLAIN kernel — the fallback for the block1
-            # (384,576) affine form if the server-side Mosaic compile
-            # still rejects it (plain compiles+runs there; r3 wave 5).
-            plain_w = int(os.environ.get("DEEPCAM_FUSED_S2_PLAIN_W", "0"))
-            if bn_fold is not None and plain_w and x.shape[2] >= plain_w:
-                a, b = bn_fold
-                x = x * a.astype(x.dtype) + b.astype(x.dtype)
-                bn_fold = None
-            if bn_fold is not None:
-                a, b = bn_fold
-                y = fused_sepconv_s2_affine(
-                    x.astype(self.dtype), a.astype(self.dtype),
-                    b.astype(self.dtype),
+                dwk = _KernelParam(
+                    (3, 3, 1, in_ch), self.kernel_init, self.param_dtype,
+                    name="depthwise",
+                )()
+                pwk = _KernelParam(
+                    (1, 1, in_ch, self.features), self.kernel_init,
+                    self.param_dtype, name="pointwise",
+                )()
+                args = (
+                    x.astype(self.dtype), ba.astype(self.dtype),
+                    bb.astype(self.dtype), bskip.astype(self.dtype),
                     dwk[:, :, 0, :].astype(self.dtype),
-                    pwk[0, 0].astype(self.dtype), interpret,
+                    pwk[0, 0].astype(self.dtype),
+                    self.dilation, interpret,
                 )
-            else:
-                y = fused_sepconv_s2(
-                    x.astype(self.dtype),
-                    dwk[:, :, 0, :].astype(self.dtype),
-                    pwk[0, 0].astype(self.dtype), interpret,
-                )
-            if emit_stats:
-                return y, None
-            return y
+                if emit_stats:
+                    y, r, s1, s2 = fused_sepconv_boundary_stats(*args)
+                    return y, (s1, s2), r
+                y, r = fused_sepconv_boundary(*args)
+                return y, None, r
+            # unfused path: the identical XLA elementwise boundary chain,
+            # then the plain depthwise→pointwise on r (params on THIS
+            # module — same tree as the fused form)
+            r = nn.relu(
+                x.astype(self.dtype) * ba.astype(self.dtype)
+                + bb.astype(self.dtype) + bskip.astype(self.dtype))
+            pad = fixed_padding(self.kernel_size, self.dilation)
+            xr = DepthwiseConv3x3(
+                stride=1, dilation=self.dilation, padding=pad,
+                kernel_init=self.kernel_init, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="depthwise",
+            )(r)
+            xr = Conv2d(
+                features=self.features, kernel_size=1, use_bias=False,
+                kernel_init=self.kernel_init, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="pointwise",
+            )(xr)
+            return xr, None, r
+        # Stride-2 tail sepconvs (3 in the model) stay on the XLA conv
+        # schedule: THREE fused-kernel generations measured losers
+        # whole-model despite 1.6-1.75x standalone wins at every tail
+        # shape (v1 0.976x r2; v2 in-kernel-phase-split 0.883x r4 after
+        # the block1-affine Mosaic fix) — XLA fuses the s2 backward into
+        # the surrounding BN/residual graph better than any custom-call
+        # boundary allows.  Kernels in git history
+        # (ops/pallas/fused_sepconv_s2.py, deleted r4).
         # the kernel wins where the backward dominates (wide channels);
         # XLA keeps the lane-starved entry shapes (measured: PERF.md r2)
         min_ch = int(os.environ.get("DEEPCAM_FUSED_MIN_CH", "0"))

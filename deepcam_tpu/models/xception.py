@@ -27,6 +27,7 @@ from .layers import (
     Conv2d,
     SeparableConv2dSame,
     bn_fold_active,
+    boundary_fold_active,
     fused_stats_active,
     kaiming_normal_torch,
 )
@@ -67,12 +68,27 @@ class XceptionBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, boundary_in=None,
+                 emit_boundary: bool = False):
+        """``boundary_in=((a, b), skip)`` (block-boundary fold,
+        DEEPCAM_BOUNDARY_FOLD=1): ``x`` is then the PREVIOUS block's
+        chain-final raw pointwise output and this block's input stream
+        ``r = relu(x*a + b + skip)`` is computed inside unit 0's kernel
+        (one less HBM pass per boundary); requires ``start_with_relu``.
+
+        ``emit_boundary=True`` (stride-1, no-tail blocks only): instead of
+        applying the chain-final BN and the residual add, return the
+        pending triple ``(y_last_raw, (a, b), skip)`` for the NEXT block
+        to fold — the block output tensor never materializes."""
         in_ch = x.shape[-1]
-        if self.start_with_relu:
-            # inplace-ReLU aliasing: the residual/skip input is relu(x)
-            x = nn.relu(x)
-        inp = x
+        if boundary_in is not None:
+            assert self.start_with_relu
+            inp = None  # set to unit 0's emitted r below
+        else:
+            if self.start_with_relu:
+                # inplace-ReLU aliasing: the residual/skip input is relu(x)
+                x = nn.relu(x)
+            inp = x
 
         # Build the unit list exactly like the reference constructor.
         units = []  # (out_features,)
@@ -96,24 +112,39 @@ class XceptionBlock(nn.Module):
         # BN's (Σy, Σy²) partials from VMEM (layers.fused_stats_active())
         emit = fused_stats_active() and train
         has_tail = self.stride != 1 or self.is_last
+        if emit_boundary:
+            # pending-triple emission needs a foldable chain-final BN and
+            # an identity residual (middle-flow blocks only)
+            assert not has_tail and fold and self.out_ch == in_ch
         ab = None
         for i, feat in enumerate(units):
             # the rep-unit ReLU (i > 0) is declared ON the sepconv so the
             # TPU path can fuse relu→dw→pw into one kernel; unit 0's ReLU is
             # the block-level one applied above (shared with the residual)
-            x = SeparableConv2dSame(
-                features=feat,
-                kernel_size=3,
-                stride=1,
-                dilation=self.dilation,
-                pre_relu=i > 0,
-                dtype=self.dtype,
-                name=f"sepconv{i}",
-            )(x, bn_fold=ab, emit_stats=emit)
-            st = None
-            if emit:
-                x, st = x
-            if fold and (i < len(units) - 1 or has_tail):
+            if i == 0 and boundary_in is not None:
+                x, st, inp = SeparableConv2dSame(
+                    features=feat,
+                    kernel_size=3,
+                    stride=1,
+                    dilation=self.dilation,
+                    pre_relu=False,
+                    dtype=self.dtype,
+                    name=f"sepconv{i}",
+                )(x, emit_stats=emit, boundary=boundary_in)
+            else:
+                x = SeparableConv2dSame(
+                    features=feat,
+                    kernel_size=3,
+                    stride=1,
+                    dilation=self.dilation,
+                    pre_relu=i > 0,
+                    dtype=self.dtype,
+                    name=f"sepconv{i}",
+                )(x, bn_fold=ab, emit_stats=emit)
+                st = None
+                if emit:
+                    x, st = x
+            if fold and (i < len(units) - 1 or has_tail or emit_boundary):
                 ab = BatchNorm2d(dtype=self.dtype, name=f"bn{i}")(
                     x, train, fold=True, stats=st
                 )
@@ -122,6 +153,10 @@ class XceptionBlock(nn.Module):
                     x, train, stats=st
                 )
                 ab = None
+        if emit_boundary:
+            # hand (y_last_raw, chain-final BN coeffs, residual stream) to
+            # the next block; the output tensor never materializes here
+            return x, ab, inp
 
         if self.stride != 1:
             x = SeparableConv2dSame(
@@ -210,19 +245,35 @@ class Xception(nn.Module):
             name="block3",
         )(x, train)
 
-        # Middle flow: 16 identical blocks (block4..block19)
+        # Middle flow: 16 identical blocks (block4..block19).  With the
+        # boundary fold active, each block hands its chain-final
+        # (y_raw, (a, b), residual) to the next block's unit-0 kernel and
+        # the inter-block stream tensors never materialize in HBM
+        # (boundaries 4→5 … 19→20; block4's own entry stays the XLA relu).
+        use_boundary = boundary_fold_active()
+        pending = None
         for i in range(4, 20):
-            x = XceptionBlock(
+            blk = XceptionBlock(
                 728,
                 reps=3,
                 stride=1,
                 dilation=middle_block_rate,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, train)
+            )
+            if use_boundary:
+                if pending is None:
+                    pending = blk(x, train, emit_boundary=True)
+                else:
+                    y_prev, ab_prev, skip_prev = pending
+                    pending = blk(y_prev, train,
+                                  boundary_in=(ab_prev, skip_prev),
+                                  emit_boundary=True)
+            else:
+                x = blk(x, train)
 
         # Exit flow
-        x = XceptionBlock(
+        blk20 = XceptionBlock(
             1024,
             reps=2,
             stride=1,
@@ -231,7 +282,12 @@ class Xception(nn.Module):
             is_last=True,
             dtype=self.dtype,
             name="block20",
-        )(x, train)
+        )
+        if use_boundary and pending is not None:
+            y_prev, ab_prev, skip_prev = pending
+            x = blk20(y_prev, train, boundary_in=(ab_prev, skip_prev))
+        else:
+            x = blk20(x, train)
 
         fold = bn_fold_active()
         emit = fused_stats_active() and train

@@ -248,7 +248,7 @@ def _pad_h(x, d):
 
 def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
                 interpret: bool = False, ab=None, emit_stats: bool = False,
-                padded: bool = True):
+                padded: bool = True, skip=None):
     """xp is the H-padded input (N, H+2d, W, C).  ``ab`` (optional) is a
     pair of (1, C) per-channel scale/offset applied in-kernel BEFORE the
     relu — the folded BN-apply of the preceding BatchNorm.
@@ -258,7 +258,16 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     tile already in VMEM — the consuming BatchNorm then never re-reads the
     output for its statistics (PERF.md r2: the separate stats passes cost
     ~5.6 ms/step).  Sums are of the bf16-rounded y, exactly what the
-    separate stats pass would read."""
+    separate stats pass would read.
+
+    ``skip`` (optional, requires ``ab`` and ``pre_relu``) is a residual
+    operand read through the same haloed window as x: the kernel computes
+    ``r = relu(x*a + b + skip)`` — the middle-flow BLOCK-BOUNDARY chain
+    (chain-final BN-apply + residual add + next block's leading ReLU,
+    reference ``Block.forward`` add at deeplab_xception.py:111-121 plus
+    the inplace-ReLU aliasing) — consumes r for its own taps AND emits r
+    as a second output (the residual stream the next block's skip path
+    reads), so the XLA boundary pass never materializes."""
     n, hp, w_op, c = xp.shape
     f = pwk.shape[-1]
     d = dilation
@@ -268,14 +277,21 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     th = _pick_row_tile(h, w, c, f, d)
     nh = h // th
     affine = ab is not None
+    with_skip = skip is not None
+    assert not with_skip or (affine and pre_relu and not wpad)
 
     def kernel(*refs):
+        idx = 1
+        x_ref = refs[0]
+        s_ref = None
+        if with_skip:
+            s_ref = refs[idx]
+            idx += 1
         if affine:
-            x_ref, a_ref, b_ref, dwk_ref, pwk_ref = refs[:5]
-            outs = refs[5:]
-        else:
-            x_ref, dwk_ref, pwk_ref = refs[:3]
-            outs = refs[3:]
+            a_ref, b_ref = refs[idx:idx + 2]
+            idx += 2
+        dwk_ref, pwk_ref = refs[idx:idx + 2]
+        outs = refs[idx + 2:]
         out_ref = outs[0]
         ht = x_ref[0]
         if not padded:
@@ -283,6 +299,11 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
         if affine:
             # bf16 FMA — the exact expression BatchNorm2d.apply computes
             ht = ht * a_ref[0] + b_ref[0]
+        if with_skip:
+            st = s_ref[0]
+            if not padded:
+                st = _fix_window(st, pl.program_id(1), nh, d)
+            ht = ht + st
         if pre_relu:
             ht = jnp.maximum(ht, 0)
         if affine:
@@ -290,6 +311,10 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
             # pad must be zero AFTER the affine (+relu), not relu(0*a + b)
             ht = _zero_pad_rows(ht, pl.program_id(1), th=th, d=d, h=h,
                                 wpad=wpad)
+        if with_skip:
+            # r = relu(u) center rows — the residual stream for the next
+            # block's skip path (halo rows belong to neighbor tiles)
+            outs[-1][0] = ht[d:d + th].astype(outs[-1].dtype)
         dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
                              w_out=w if wpad else None)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
@@ -319,6 +344,9 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
               else _halo_spec_nopad(th, d, h, w_op, c))
     in_specs = [x_spec]
     operands = [xp]
+    if with_skip:
+        in_specs += [x_spec]
+        operands += [skip]
     if affine:
         in_specs += [vec_spec, vec_spec]
         operands += [ab[0], ab[1]]
@@ -330,11 +358,16 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 
     out_specs = pl.BlockSpec((1, th, w, f), lambda ni, hi: (ni, hi, 0, 0))
     out_shape = jax.ShapeDtypeStruct((n, h, w, f), xp.dtype)
+    if emit_stats or with_skip:
+        out_specs = [out_specs]
+        out_shape = [out_shape]
     if emit_stats:
-        stat_spec = pl.BlockSpec((2, f), lambda ni, hi: (0, 0))
-        stat_shape = jax.ShapeDtypeStruct((2, f), jnp.float32)
-        out_specs = [out_specs, stat_spec]
-        out_shape = [out_shape, stat_shape]
+        out_specs += [pl.BlockSpec((2, f), lambda ni, hi: (0, 0))]
+        out_shape += [jax.ShapeDtypeStruct((2, f), jnp.float32)]
+    if with_skip:
+        out_specs += [pl.BlockSpec((1, th, w, c),
+                                   lambda ni, hi: (ni, hi, 0, 0))]
+        out_shape += [jax.ShapeDtypeStruct((n, h, w, c), xp.dtype)]
 
     return pl.pallas_call(
         kernel,
@@ -355,7 +388,7 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 
 def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
                 interpret: bool = False, ab=None, padded: bool = True,
-                stats=None):
+                stats=None, skip=None, gr=None):
     """xp, gp are H-padded (N, H+2d, W, C/F).  Returns (dx (N,H,W,C) in
     x.dtype, d_dw (3,3,C) fp32, d_pw (C,F) fp32) — plus (da, db) (1, C)
     fp32 when ``ab`` is given (folded BN-apply: u = x*a + b feeds the
@@ -380,11 +413,18 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     thh = th + 2 * d
     affine = ab is not None
     with_stats = stats is not None
+    with_skip = skip is not None
     assert not (with_stats and padded)
+    assert not with_skip or (affine and pre_relu and not wpad
+                             and gr is not None and not with_stats)
 
     def kernel(*refs):
         idx = 2
         x_ref, g_ref = refs[:2]
+        s_ref = gr_ref = None
+        if with_skip:
+            s_ref, gr_ref = refs[idx:idx + 2]
+            idx += 2
         if with_stats:
             y_ref, gs_ref = refs[idx:idx + 2]
             idx += 2
@@ -393,7 +433,9 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             idx += 2
         dwk_ref, pwt_ref = refs[idx:idx + 2]
         outs = refs[idx + 2:]
-        if affine:
+        if with_skip:
+            dx_ref, ddw_ref, dpw_ref, da_ref, db_ref, dsk_ref = outs
+        elif affine:
             dx_ref, ddw_ref, dpw_ref, da_ref, db_ref = outs
         else:
             dx_ref, ddw_ref, dpw_ref = outs
@@ -420,6 +462,11 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
                 db_ref[...] = jnp.zeros_like(db_ref)
 
         ut = xt * a_ref[0] + b_ref[0] if affine else xt
+        if with_skip:
+            st = s_ref[0]
+            if not padded:
+                st = _fix_window(st, hi, nh, d)
+            ut = ut + st
         ht = jnp.maximum(ut, 0) if pre_relu else ut
         if affine:
             # zero the halo pad rows/cols post-affine (see forward kernel)
@@ -434,10 +481,17 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         # depthwise dgrad: flipped-kernel taps of dd
         dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True,
                            w_out=w if wpad else None)
+        if with_skip:
+            # the r output's external cotangent joins the in-kernel tap
+            # contribution BEFORE the relu mask: d_r_total = taps + gr
+            dh = dh + gr_ref[0].astype(jnp.float32)
         if pre_relu:
             # fp32 compare: Mosaic can't lower a bf16 cmpf at this layout
             uc = ut[d:d + th, d:d + w, :] if wpad else ut[d:d + th, :, :]
             dh = jnp.where(uc.astype(jnp.float32) > 0, dh, 0.0)
+        if with_skip:
+            # d_skip = du (the residual add is an identity fan-in)
+            dsk_ref[0] = dh.astype(dsk_ref.dtype)
         if affine:
             # dh is now du (grad at the affine output)
             xc = xt[d:d + th, d:d + w, :] if wpad else xt[d:d + th, :, :]
@@ -479,6 +533,11 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         in_specs = [_halo_spec_nopad(th, d, h, w_op, c),
                     _halo_spec_nopad(th, d, h, w_op, f)]
     operands = [xp, gp]
+    if with_skip:
+        in_specs += [in_specs[0],
+                     pl.BlockSpec((1, th, w, c),
+                                  lambda ni, hi: (ni, hi, 0, 0))]
+        operands += [skip, gr]
     if with_stats:
         gs, y = stats
         in_specs += [_halo_spec_nopad(th, d, h, w_op, f),
@@ -509,6 +568,10 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ]
+    if with_skip:
+        out_specs += [pl.BlockSpec((1, th, w, c),
+                                   lambda ni, hi: (ni, hi, 0, 0))]
+        out_shape += [jax.ShapeDtypeStruct((n, h, w, c), xp.dtype)]
 
     return pl.pallas_call(
         kernel,
@@ -673,11 +736,13 @@ def _fss_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
 
 def _stats_inkernel() -> bool:
     """Fold the stats cotangent into gt inside the backward kernel
-    (requires nopad mode) — opt-in (DEEPCAM_STATS_INKERNEL=1) pending the
-    TPU A/B; the XLA-side adjust costs ~5 ms/step across the model."""
+    (requires nopad mode) — default ON since the r4 A/B (24.03 vs 23.88
+    control; the r3 wave-1 re-test also measured +0.1 — two consecutive
+    same-session wins, and the fold strictly removes one XLA elementwise
+    pass per unit).  DEEPCAM_STATS_INKERNEL=0 opts out."""
     import os
 
-    return os.environ.get("DEEPCAM_STATS_INKERNEL", "0") == "1"
+    return os.environ.get("DEEPCAM_STATS_INKERNEL", "1") == "1"
 
 
 def _fss_bwd(pre_relu, dilation, interpret, res, g):
@@ -753,3 +818,116 @@ def _fsas_bwd(pre_relu, dilation, interpret, res, g):
 
 
 fused_sepconv_affine_stats.defvjp(_fsas_fwd, _fsas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# block-boundary variant: r = relu(x*a + b + skip) computed (and emitted)
+# in-kernel
+# ---------------------------------------------------------------------------
+#
+# The middle-flow block boundary (reference ``Block.forward``: the chain-
+# final BN-apply, the residual add at deeplab_xception.py:111-121, and the
+# next block's leading inplace ReLU) is an XLA elementwise pass that reads
+# the tail pointwise output y2 and the residual stream, and writes the new
+# stream r — whose only consumers are the next block's first sepconv and
+# its identity skip.  Folding the chain into that sepconv's kernel removes
+# the pass: the kernel reads (y2, skip) through its existing haloed
+# windows, forms r in VMEM, consumes it for its taps, and emits r once for
+# the skip path.  The backward emits d_skip (= du) and d_x (= du·a)
+# directly, receiving the r output's external cotangent as one extra
+# center-window operand.  ~60 MB/boundary of HBM traffic at the middle-
+# flow shape (batch 4), 16 boundaries per step.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_sepconv_boundary(x, a, b, skip, dwk, pwk, dilation: int = 1,
+                           interpret: bool = False):
+    """Returns ``(y, r)``: r = relu(x*a + b + skip) (the next residual
+    stream) and y = pw(dw3x3(r)).  Parity target: the composition
+    ``fused_sepconv(relu(x*a + b + skip), pre_relu=False)`` with the
+    boundary chain computed as the same bf16 FMA/add XLA emits."""
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
+    sk = skip if not padded else _pad_h(skip, dilation)
+    y, r = _fwd_pallas(
+        op, dwk, pwk, pre_relu=True, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded, skip=sk,
+    )
+    return y, r
+
+
+def _fsb_fwd(x, a, b, skip, dwk, pwk, dilation, interpret):
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
+    sk = skip if not padded else _pad_h(skip, dilation)
+    y, r = _fwd_pallas(
+        op, dwk, pwk, pre_relu=True, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded, skip=sk,
+    )
+    return (y, r), (op, sk, a, b, dwk, pwk)
+
+
+def _fsb_bwd(dilation, interpret, res, g):
+    xp, sk, a, b, dwk, pwk = res
+    gy, gr = g
+    padded = xp.shape[1] != gy.shape[1]
+    gop = gy.astype(xp.dtype)
+    if padded:
+        gop = _pad_h(gop, dilation)
+    dx, ddw, dpw, da, db, dsk = _bwd_pallas(
+        xp, gop, dwk, pwk.T,
+        pre_relu=True, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded,
+        skip=sk, gr=gr.astype(xp.dtype),
+    )
+    return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype), dsk,
+            ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
+
+
+fused_sepconv_boundary.defvjp(_fsb_fwd, _fsb_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_sepconv_boundary_stats(x, a, b, skip, dwk, pwk, dilation: int = 1,
+                                 interpret: bool = False):
+    """``fused_sepconv_boundary`` that also returns (Σy, Σy²) partials:
+    ``(y, r, s1, s2)``."""
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
+    sk = skip if not padded else _pad_h(skip, dilation)
+    y, s, r = _fwd_pallas(
+        op, dwk, pwk, pre_relu=True, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded, skip=sk,
+        emit_stats=True,
+    )
+    return y, r, s[0], s[1]
+
+
+def _fsbs_fwd(x, a, b, skip, dwk, pwk, dilation, interpret):
+    op, padded = _prep_in(x, pwk.shape[-1], dilation)
+    sk = skip if not padded else _pad_h(skip, dilation)
+    y, s, r = _fwd_pallas(
+        op, dwk, pwk, pre_relu=True, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded, skip=sk,
+        emit_stats=True,
+    )
+    return (y, r, s[0], s[1]), (op, sk, a, b, dwk, pwk, y)
+
+
+def _fsbs_bwd(dilation, interpret, res, g):
+    xp, sk, a, b, dwk, pwk, y = res
+    gy, gr, gs1, gs2 = g
+    # stats cotangent folds into gy XLA-side (the in-kernel stats fold is
+    # not combined with the boundary form)
+    gadj = _stats_adjust(gy, gs1, gs2, y)
+    padded = xp.shape[1] != y.shape[1]
+    if padded:
+        gadj = _pad_h(gadj, dilation)
+    dx, ddw, dpw, da, db, dsk = _bwd_pallas(
+        xp, gadj, dwk, pwk.T,
+        pre_relu=True, dilation=dilation, interpret=interpret,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded,
+        skip=sk, gr=gr.astype(xp.dtype),
+    )
+    return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype), dsk,
+            ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
+
+
+fused_sepconv_boundary_stats.defvjp(_fsbs_fwd, _fsbs_bwd)

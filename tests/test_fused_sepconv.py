@@ -525,3 +525,157 @@ class TestMinRowsGate:
                                           np.asarray(flat_g[path]))
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_g),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestBoundaryFold:
+    """Block-boundary variant: r = relu(x*a + b + skip) in-kernel, r
+    emitted for the skip path (fused_sepconv_boundary[_stats])."""
+
+    BCASES = [
+        (2, 16, 12, 16, 24),
+        (1, 8, 12, 8, 8),      # nh == 1
+        (1, 2, 3, 8, 8),       # degenerate middle-flow-at-(32,48) shape
+        (1, 24, 9, 40, 16),    # odd W, C not a lane multiple
+    ]
+
+    @pytest.mark.parametrize("n,h,w,c,f", BCASES)
+    def test_forward_parity(self, n, h, w, c, f):
+        from deepcam_tpu.ops.pallas.fused_sepconv import (
+            fused_sepconv_boundary,
+        )
+
+        rng = np.random.RandomState(hash((n, h, w, c, f)) % 2**31)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        sk = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.2 * rng.randn(c, f), jnp.float32)
+
+        r_ref = jnp.maximum(x * a + b + sk, 0)
+        y_ref = _reference(r_ref, dwk, pwk, False, 1)
+        y, r = fused_sepconv_boundary(x, a, b, sk, dwk, pwk, 1, True)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("n,h,w,c,f", BCASES[:2])
+    @pytest.mark.parametrize("stats", [False, True])
+    def test_gradient_parity(self, n, h, w, c, f, stats):
+        """All six cotangent paths (dx, da, db, dskip, ddw, dpw) vs XLA
+        autodiff of the composition — including the r output's external
+        cotangent (the skip-path consumer) and, for the stats variant,
+        the (Σy, Σy²) cotangents."""
+        from deepcam_tpu.ops.pallas.fused_sepconv import (
+            fused_sepconv_boundary,
+            fused_sepconv_boundary_stats,
+        )
+
+        rng = np.random.RandomState(hash((n, h, w, c, f)) % 2**31)
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        sk = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.2 * rng.randn(c, f), jnp.float32)
+        gy = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+        gr = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+
+        def loss_fused(x, a, b, sk, dwk, pwk):
+            if stats:
+                y, r, s1, s2 = fused_sepconv_boundary_stats(
+                    x, a, b, sk, dwk, pwk, 1, True)
+                # exercise the stats cotangents like a BN consumer would
+                extra = jnp.sum(s1 * 0.3) + jnp.sum(s2 * 0.1)
+            else:
+                y, r = fused_sepconv_boundary(x, a, b, sk, dwk, pwk, 1, True)
+                extra = 0.0
+            return jnp.sum(y * gy) + jnp.sum(r * gr) + extra
+
+        def loss_ref(x, a, b, sk, dwk, pwk):
+            r = jnp.maximum(x * a + b + sk, 0)
+            y = _reference(r, dwk, pwk, False, 1)
+            extra = 0.0
+            if stats:
+                y32 = y.astype(jnp.float32)
+                extra = (jnp.sum(jnp.sum(y32, axis=(0, 1, 2)) * 0.3)
+                         + jnp.sum(jnp.sum(y32 * y32, axis=(0, 1, 2)) * 0.1))
+            return jnp.sum(y * gy) + jnp.sum(r * gr) + extra
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            x, a, b, sk, dwk, pwk)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            x, a, b, sk, dwk, pwk)
+        for name, got, want in zip(("dx", "da", "db", "dskip", "ddw", "dpw"),
+                                   g_f, g_r):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+                err_msg=name)
+
+    def test_xception_boundary_fold_matches_default(self, monkeypatch):
+        """DEEPCAM_BOUNDARY_FOLD=1 (XLA fallback AND interpret kernels)
+        reproduces the default middle-flow graph: identical param tree,
+        matching eval/train outputs and grads at relative tolerance."""
+        from deepcam_tpu.models import layers as L
+        from deepcam_tpu.models.xception import Xception
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 32, 48, 16), jnp.float32)
+        model = Xception(output_stride=16, dtype=jnp.float32)
+
+        def run(fold, impl):
+            if fold:
+                monkeypatch.setenv("DEEPCAM_BOUNDARY_FOLD", "1")
+            else:
+                monkeypatch.delenv("DEEPCAM_BOUNDARY_FOLD", raising=False)
+            L.set_sepconv_impl(impl)
+            try:
+                v = model.init(jax.random.PRNGKey(3), x, train=False)
+                y_eval, _ = model.apply(v, x, train=False)
+
+                def loss(p):
+                    (y, _), _ = model.apply(
+                        {"params": p, "batch_stats": v["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"])
+                    return jnp.sum(y.astype(jnp.float32) ** 2) / 1e9
+
+                val, g = jax.value_and_grad(loss)(v["params"])
+                return v, np.asarray(y_eval), float(val), g
+            finally:
+                L.set_sepconv_impl("auto")
+                monkeypatch.delenv("DEEPCAM_BOUNDARY_FOLD", raising=False)
+
+        v0, y0, l0, g0 = run(False, "auto")
+        v1, y1, l1, g1 = run(True, "auto")
+        v2, y2, l2, g2 = run(True, "fused")
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(q)),
+            v0["params"], v1["params"])
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(q)),
+            v0["params"], v2["params"])
+        scale = np.abs(y0).max()
+        # XLA fallback is the identical graph (bit-exact); interpret
+        # kernels differ by fp32 reduction order only
+        np.testing.assert_array_equal(y0, y1)
+        np.testing.assert_allclose(y2, y0, atol=2e-5 * scale)
+        np.testing.assert_allclose(l1, l0, rtol=1e-6)
+        np.testing.assert_allclose(l2, l0, rtol=1e-4)
+
+        def gnorm_rel(ga, gb):
+            flat_a = jnp.concatenate(
+                [jnp.ravel(t) for t in jax.tree_util.tree_leaves(ga)])
+            flat_b = jnp.concatenate(
+                [jnp.ravel(t) for t in jax.tree_util.tree_leaves(gb)])
+            return float(jnp.linalg.norm(flat_a - flat_b)
+                         / (jnp.linalg.norm(flat_b) + 1e-30))
+
+        assert gnorm_rel(g1, g0) < 1e-5
+        # interpret-kernel bar: the PLAIN fused impl (no fold) measures
+        # 3e-4..2e-3 against auto on identical params across processes
+        # (fp32 reduction-order noise amplified by random-init BN scales);
+        # fold-vs-plain-fused is ~8e-5, i.e. the fold adds nothing
+        assert gnorm_rel(g2, g0) < 5e-3

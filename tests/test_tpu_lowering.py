@@ -1,7 +1,7 @@
 """AOT TPU (Mosaic) lowering regression tests for every Pallas kernel path.
 
 The CPU test suite runs the kernels in interpret mode, which NEVER exercises
-the Mosaic lowering — round 3 found fused_sepconv_s2_v2 failing on real
+the Mosaic lowering — round 3 found a kernel (since deleted) failing on real
 hardware with "Only 2D gather is supported" (jnp strided ``[0::2]`` indexing
 lowers to a >2-D gather; ``lax.slice`` strides to a stride-2
 ``vector.extract_strided_slice`` — Mosaic rejects both) while all its
@@ -78,38 +78,51 @@ def test_fused_sepconv_s1_stats_inkernel_lowers(monkeypatch):
     _lower(_grad_all(fused_sepconv_stats, 3), x, dwk, pwk)
 
 
-def test_fused_sepconv_s2_v1_lowers():
-    from deepcam_tpu.ops.pallas.fused_sepconv_s2 import (
-        fused_sepconv_s2,
-        fused_sepconv_s2_affine,
+def test_fused_sepconv_boundary_lowers():
+    """Block-boundary variant (r = relu(x*a + b + skip) in-kernel) — both
+    forms, full grad, including the r-output cotangent path."""
+    from deepcam_tpu.ops.pallas.fused_sepconv import (
+        fused_sepconv_boundary,
+        fused_sepconv_boundary_stats,
     )
 
     x, a, b, dwk, pwk = _s1_operands()
-    _lower(_grad_all(fused_sepconv_s2, 3), x, dwk, pwk)
-    _lower(_grad_all(fused_sepconv_s2_affine, 5), x, a, b, dwk, pwk)
+    sk = jnp.zeros_like(x)
+
+    def loss_b(x, a, b, sk, dwk, pwk):
+        y, r = fused_sepconv_boundary(x, a, b, sk, dwk, pwk)
+        return (y.astype(jnp.float32).sum()
+                + r.astype(jnp.float32).sum())
+
+    def loss_bs(x, a, b, sk, dwk, pwk):
+        y, r, s1, s2 = fused_sepconv_boundary_stats(x, a, b, sk, dwk, pwk)
+        return (y.astype(jnp.float32).sum()
+                + r.astype(jnp.float32).sum() + s1.sum() + s2.sum())
+
+    _lower(jax.grad(loss_b, argnums=(0, 1, 2, 3, 4, 5)),
+           x, a, b, sk, dwk, pwk)
+    _lower(jax.grad(loss_bs, argnums=(0, 1, 2, 3, 4, 5)),
+           x, a, b, sk, dwk, pwk)
 
 
-def test_fused_sepconv_s2_v2_lowers():
-    from deepcam_tpu.ops.pallas.fused_sepconv_s2 import (
-        fused_sepconv_s2_affine_v2,
-        fused_sepconv_s2_v2,
-    )
+def test_fused_sepconv_boundary_lowers_at_middle_shape():
+    """The shape the fold actually runs at: middle flow (48, 72, 728),
+    batch 4."""
+    from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv_boundary
 
-    x, a, b, dwk, pwk = _s1_operands()
-    _lower(_grad_all(fused_sepconv_s2_v2, 3), x, dwk, pwk)
-    _lower(_grad_all(fused_sepconv_s2_affine_v2, 5), x, a, b, dwk, pwk)
+    x = jnp.zeros((4, 48, 72, 728), jnp.bfloat16)
+    a = jnp.zeros((728,), jnp.bfloat16)
+    b = jnp.zeros((728,), jnp.bfloat16)
+    sk = jnp.zeros_like(x)
+    dwk = jnp.zeros((3, 3, 728), jnp.bfloat16)
+    pwk = jnp.zeros((728, 728), jnp.bfloat16)
 
+    def loss(x, a, b, sk, dwk, pwk):
+        y, r = fused_sepconv_boundary(x, a, b, sk, dwk, pwk)
+        return y.astype(jnp.float32).sum() + r.astype(jnp.float32).sum()
 
-def test_fused_sepconv_s2_v2_lowers_at_block_shapes():
-    """The tail shapes that actually occur: block1/2/3 at batch 4."""
-    from deepcam_tpu.ops.pallas.fused_sepconv_s2 import fused_sepconv_s2_v2
-
-    for (h, w, c, f) in ((384, 576, 128, 128), (192, 288, 256, 256),
-                         (96, 144, 728, 728)):
-        x = jnp.zeros((1, h, w, c), jnp.bfloat16)
-        dwk = jnp.zeros((3, 3, c), jnp.bfloat16)
-        pwk = jnp.zeros((c, f), jnp.bfloat16)
-        _lower(_grad_all(fused_sepconv_s2_v2, 3), x, dwk, pwk)
+    _lower(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)),
+           x, a, b, sk, dwk, pwk)
 
 
 def test_full_train_step_lowers_for_tpu():
