@@ -93,6 +93,11 @@ def test_spatial_cli_run(tmp_path):
         "--target_iou", "2.0",
         "--spatial", "2",
         "--max_validation_steps", "0",
+        # pin the reference's batch-1 eval (the budget assertion below
+        # checks the per-REPLICA max_validation_steps semantics at the
+        # reference's own batch size; the production default is 8 — the
+        # measured v5e knee, PERF.md r4 eval bench)
+        "--eval_local_batch_size", "1",
     ])
     try:
         result = main(args)
