@@ -524,16 +524,21 @@ def bn_fold_active() -> bool:
 
 
 def boundary_fold_active() -> bool:
-    """Middle-flow block-boundary fold (DEEPCAM_BOUNDARY_FOLD=1, opt-in
-    pending the TPU A/B): the chain-final BN-apply + residual add + next
-    block's leading ReLU run inside the next block's unit-0 kernel, which
-    also emits the residual stream (ops/pallas/fused_sepconv.py boundary
-    variant).  Requires the BN-apply fold (the chain-final BN must hand
-    its (a, b) forward).  Numerics are the same bf16 chain either way;
-    the unfused/CPU path computes it as identical XLA elementwise ops."""
+    """Middle-flow block-boundary fold: the chain-final BN-apply +
+    residual add + next block's leading ReLU run inside the next block's
+    unit-0 kernel, which also emits the residual stream
+    (ops/pallas/fused_sepconv.py boundary variant).  Requires the
+    BN-apply fold (the chain-final BN must hand its (a, b) forward).
+    Numerics are the same bf16 chain either way; the unfused/CPU path
+    computes it as identical XLA elementwise ops.
+
+    Default ON since the r4 wave-2 A/B: 24.22 vs 23.89 control (+1.4%,
+    ~1 GB/step of boundary-pass traffic removed; the boundary kernel
+    compiles server-side at the production (4,48,72,728) shape).
+    DEEPCAM_BOUNDARY_FOLD=0 opts out."""
     import os
 
-    return (os.environ.get("DEEPCAM_BOUNDARY_FOLD", "0") == "1"
+    return (os.environ.get("DEEPCAM_BOUNDARY_FOLD", "1") == "1"
             and bn_fold_active())
 
 
