@@ -25,6 +25,7 @@ Everything here is laid out TPU-first:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
@@ -954,6 +955,66 @@ def _bn_one_pass() -> bool:
     return os.environ.get("DEEPCAM_BN_ONEPASS", "1") == "1"
 
 
+def _bn_bwd_custom() -> bool:
+    """Closed-form BN backward in the COMPUTE dtype (opt-in
+    DEEPCAM_BN_BWD=1 pending the TPU A/B).
+
+    XLA autodiff through the fp32 batch-statistics reductions promotes the
+    full-tensor x-cotangent of every XLA-producer BN to fp32: the r4 trace
+    shows 905–931 MB fp32 select/copy/loop-fusion ops around deconv3_bn
+    (its bwd scope alone 9.1 ms / 6.0 GB) and the other apply-mode BNs.
+    The closed form  dx = (γ/σ)·(du − mean(du) − x̂·mean(du·x̂))  needs
+    only two per-channel fp32 reductions; every full-tensor term stays
+    bf16 — same math as autodiff (the stats paths are folded analytically;
+    the outer graph's mean/var get zero cotangents), different only in
+    elementwise rounding."""
+    import os
+
+    return os.environ.get("DEEPCAM_BN_BWD", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _bn_train_apply(x, mean, var, scale, bias, eps, relu, dtype):
+    """y = [relu](x·a + b) with a/b from the batch stats — identical
+    forward to the inline apply; the custom backward keeps full-tensor
+    cotangents in ``dtype`` (see ``_bn_bwd_custom``)."""
+    inv = lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    a = inv.astype(dtype)
+    b = (bias.astype(jnp.float32) - mean * inv).astype(dtype)
+    y = x * a + b
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+def _bn_train_apply_fwd(x, mean, var, scale, bias, eps, relu, dtype):
+    y = _bn_train_apply(x, mean, var, scale, bias, eps, relu, dtype)
+    return y, (x, y if relu else None, mean, var, scale)
+
+
+def _bn_train_apply_bwd(eps, relu, dtype, res, dy):
+    x, y, mean, var, scale = res
+    rs = lax.rsqrt(var + eps)  # (C,) fp32, 1/σ
+    # x̂ in compute dtype — the only full-tensor intermediate
+    xh = (x - mean.astype(dtype)) * rs.astype(dtype)
+    du = jnp.where(y > 0, dy, jnp.zeros((), dy.dtype)) if relu else dy
+    red = tuple(range(x.ndim - 1))
+    n = 1
+    for d in red:
+        n *= x.shape[d]
+    s_dy = jnp.sum(du, axis=red, dtype=jnp.float32)
+    s_dyxh = jnp.sum(du * xh, axis=red, dtype=jnp.float32)
+    g1 = (rs * scale.astype(jnp.float32)).astype(dtype)  # γ/σ
+    c1 = (s_dy / n).astype(dtype)
+    c2 = (s_dyxh / n).astype(dtype)
+    dx = g1 * (du - c1 - xh * c2)
+    return (dx.astype(x.dtype), jnp.zeros_like(mean), jnp.zeros_like(var),
+            s_dyxh.astype(scale.dtype), s_dy.astype(scale.dtype))
+
+
+_bn_train_apply.defvjp(_bn_train_apply_fwd, _bn_train_apply_bwd)
+
+
 class BatchNorm2d(nn.Module):
     """BatchNorm over NHW with torch-parity running statistics.
 
@@ -1106,6 +1167,14 @@ class BatchNorm2d(nn.Module):
             mean = ra_mean.value
             var = ra_var.value
 
+        # closed-form backward in compute dtype (see _bn_bwd_custom): the
+        # apply-mode train path hands off to the custom-VJP form so the
+        # full-tensor cotangent never promotes to fp32
+        if (train and not fold and g == 1 and self.axis_name is None
+                and _bn_bwd_custom()):
+            return _bn_train_apply(
+                x.astype(self.dtype), mean, var, scale, bias,
+                self.eps, relu, self.dtype)
         # apply as one fused FMA in the compute dtype: y = x*a + b with the
         # per-channel a/b computed in fp32
         inv = lax.rsqrt(var + self.eps) * scale.astype(jnp.float32)

@@ -95,6 +95,13 @@ def _pick_row_tile(h: int, w: int, c: int, f: int, d: int) -> int:
     import os
 
     cap = int(os.environ.get("DEEPCAM_FUSED_TH", "16"))
+    if h >= 96:
+        # entry-flow shapes (block1/2/3 run at h 384/192/96; middle/exit
+        # at 48): the r4 audit places their backwards at 10-25% of
+        # roofline, so their tile cap is separately tunable
+        # (DEEPCAM_FUSED_TH_ENTRY) without risking the middle-flow
+        # th=24 Mosaic-OOM (r2)
+        cap = int(os.environ.get("DEEPCAM_FUSED_TH_ENTRY", str(cap)))
     budget = int(os.environ.get("DEEPCAM_FUSED_VMEM_MB", "96")) << 20
 
     def est_bytes(t: int) -> int:

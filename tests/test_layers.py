@@ -254,3 +254,74 @@ def test_batchnorm_one_pass_matches_two_pass(monkeypatch):
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
         (u1, g1), (u0, g0),
     )
+
+
+@pytest.mark.parametrize("relu", [False, True])
+@pytest.mark.parametrize("stats_path", ["two_pass", "one_pass"])
+def test_bn_custom_backward_matches_autodiff(relu, stats_path, monkeypatch):
+    """DEEPCAM_BN_BWD=1: the closed-form BN backward (full-tensor
+    cotangents in compute dtype, per-channel reductions fp32) must match
+    XLA autodiff through the batch-statistics chain — dx, dgamma, dbeta —
+    under both stats forms."""
+    monkeypatch.setenv("DEEPCAM_BN_ONEPASS",
+                       "1" if stats_path == "one_pass" else "0")
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 12, 16) * 2 + 0.3, jnp.float32)
+    gy = jnp.asarray(rng.randn(2, 8, 12, 16), jnp.float32)
+    mod = BatchNorm2d(dtype=jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x, True)
+
+    def run(custom):
+        monkeypatch.setenv("DEEPCAM_BN_BWD", "1" if custom else "0")
+
+        def loss(p, x):
+            y, _ = mod.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                x, True, relu=relu, mutable=["batch_stats"])
+            return jnp.sum(y * gy)
+
+        l, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(
+            v["params"], x)
+        return float(l), gp, gx
+
+    l0, gp0, gx0 = run(False)
+    l1, gp1, gx1 = run(True)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(np.asarray(gp0[k]), np.asarray(gp1[k]),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bn_custom_backward_bf16_cotangent_dtype(monkeypatch):
+    """In bf16 compute the custom backward's full-tensor cotangent stays
+    bf16 (the point of the form: autodiff promotes it to fp32 through the
+    fp32 stats reductions) and tracks the fp32 reference."""
+    monkeypatch.setenv("DEEPCAM_BN_BWD", "1")
+    rng = np.random.RandomState(8)
+    x16 = jnp.asarray(rng.randn(2, 8, 12, 16), jnp.bfloat16)
+    gy = jnp.asarray(rng.randn(2, 8, 12, 16), jnp.bfloat16)
+    mod = BatchNorm2d(dtype=jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), x16, True)
+
+    def loss(x):
+        y, _ = mod.apply(v, x, True, relu=True, mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32) * gy.astype(jnp.float32))
+
+    gx = jax.grad(loss)(x16)
+    assert gx.dtype == jnp.bfloat16
+    # fp32 autodiff reference on the same values
+    monkeypatch.setenv("DEEPCAM_BN_BWD", "0")
+    mod32 = BatchNorm2d(dtype=jnp.float32)
+    x32 = x16.astype(jnp.float32)
+    v32 = mod32.init(jax.random.PRNGKey(0), x32, True)
+
+    def loss32(x):
+        y, _ = mod32.apply(v32, x, True, relu=True, mutable=["batch_stats"])
+        return jnp.sum(y * gy.astype(jnp.float32))
+
+    gx32 = jax.grad(loss32)(x32)
+    denom = float(jnp.linalg.norm(gx32)) + 1e-30
+    rel = float(jnp.linalg.norm(gx.astype(jnp.float32) - gx32)) / denom
+    assert rel < 0.02, rel
