@@ -232,6 +232,17 @@ def _nopad_ok(h, w, c, f, d) -> bool:
     return h - th - 2 * d >= 0
 
 
+def _fuse_tap_loops() -> bool:
+    """Merge the backward's d_dw tap loop with the dw-output recompute
+    (identical tap loads, each materialized once instead of twice) —
+    opt-in DEEPCAM_FUSED_TAPS1=1 pending the whole-model A/B (kept OFF by
+    default so the in-flight wave-3 arms stay comparable to their
+    control)."""
+    import os
+
+    return os.environ.get("DEEPCAM_FUSED_TAPS1", "0") == "1"
+
+
 def _use_wpad() -> bool:
     """W-halo in the operand (pad W like H): every in-kernel tap becomes a
     pure 2D slice instead of a zero-block-concat W shift.  Measured r2 on
@@ -508,23 +519,40 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             dh = dh * a_ref[0].astype(jnp.float32)
         dx_ref[0] = dh.astype(dx_ref.dtype)
 
-        # depthwise wgrad: 9 taps of h against the center dd rows
+        # depthwise wgrad (9 taps of h against the center dd rows) and the
+        # dw-output recompute for the pointwise wgrad share IDENTICAL tap
+        # loads — one merged loop materializes each tap once instead of
+        # twice (DEEPCAM_FUSED_TAPS1=0 restores the split loops for A/B;
+        # accumulation order of both outputs is unchanged either way)
         if wpad:
             ddc = dd[d:d + th, d:d + w, :]
         else:
             ddc = dd[d:d + th, :, :]
-        for i in range(3):
-            rows = ht[i * d:i * d + th, :, :]
-            for j in range(3):
-                if wpad:
-                    tap = rows[:, j * d:j * d + w, :].astype(jnp.float32)
-                else:
-                    tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
-                ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
-
-        # pointwise wgrad: recompute d (rounded to bf16 exactly as the fwd)
-        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
-                             w_out=w if wpad else None)
+        if _fuse_tap_loops():
+            k32 = dwk_ref[...].astype(jnp.float32)
+            dw32 = None
+            for i in range(3):
+                rows = ht[i * d:i * d + th, :, :]
+                for j in range(3):
+                    if wpad:
+                        tap = rows[:, j * d:j * d + w, :].astype(jnp.float32)
+                    else:
+                        tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
+                    ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
+                    term = tap * k32[i, j]
+                    dw32 = term if dw32 is None else dw32 + term
+        else:
+            for i in range(3):
+                rows = ht[i * d:i * d + th, :, :]
+                for j in range(3):
+                    if wpad:
+                        tap = rows[:, j * d:j * d + w, :].astype(jnp.float32)
+                    else:
+                        tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
+                    ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
+            # pointwise wgrad: recompute d (rounded to bf16 as the fwd)
+            dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
+                                 w_out=w if wpad else None)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
         gc = gt[d:d + th, d:d + w, :] if wpad else gt[d:d + th, :, :]
         dpw_ref[...] += lax.dot_general(
