@@ -967,10 +967,16 @@ def _bn_bwd_custom() -> bool:
     only two per-channel fp32 reductions; every full-tensor term stays
     bf16 — same math as autodiff (the stats paths are folded analytically;
     the outer graph's mean/var get zero cotangents), different only in
-    elementwise rounding."""
+    elementwise rounding.
+
+    Modes: ``1`` = every eligible BN (r4 w3: 23.97 vs 24.22 control,
+    0.990x — the custom-VJP boundary costs more than the byte cut across
+    the many mid-size BNs); ``big`` = only full-resolution BNs
+    (H·W ≥ 131072: deconv3_bn and the entry bn1/bn2 — where the fp32
+    streams are 0.9 GB each)."""
     import os
 
-    return os.environ.get("DEEPCAM_BN_BWD", "0") == "1"
+    return os.environ.get("DEEPCAM_BN_BWD", "0")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -1170,8 +1176,11 @@ class BatchNorm2d(nn.Module):
         # closed-form backward in compute dtype (see _bn_bwd_custom): the
         # apply-mode train path hands off to the custom-VJP form so the
         # full-tensor cotangent never promotes to fp32
+        mode = _bn_bwd_custom()
+        use_custom = mode == "1" or (
+            mode == "big" and x.shape[1] * x.shape[2] >= 131072)
         if (train and not fold and g == 1 and self.axis_name is None
-                and _bn_bwd_custom()):
+                and use_custom):
             return _bn_train_apply(
                 x.astype(self.dtype), mean, var, scale, bias,
                 self.eps, relu, self.dtype)
