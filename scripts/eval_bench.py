@@ -34,6 +34,11 @@ CONFIGS = [
     (4, False),
     (8, True),
 ]
+# EVAL_CONFIGS="16:1,8:0" overrides: batch:block pairs
+if os.environ.get("EVAL_CONFIGS"):
+    CONFIGS = [(int(b), bool(int(e)))
+               for b, e in (c.split(":")
+                            for c in os.environ["EVAL_CONFIGS"].split(","))]
 
 
 def main():

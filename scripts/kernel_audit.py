@@ -43,14 +43,15 @@ def record_units(batch):
     records = {}
     orig = L.SeparableConv2dSame.__call__
 
-    def wrapped(self, x, bn_fold=None, emit_stats=False):
+    def wrapped(self, x, bn_fold=None, emit_stats=False, boundary=None):
         # flax scope path, e.g. ('xception', 'block8') + self.name
         path = "/".join(p for p in self.scope.path if not p.startswith("_"))
         records[(path, self.name)] = dict(
             h=x.shape[1], w=x.shape[2], c=x.shape[3], f=self.features,
             stride=self.stride, dilation=self.dilation,
         )
-        return orig(self, x, bn_fold=bn_fold, emit_stats=emit_stats)
+        return orig(self, x, bn_fold=bn_fold, emit_stats=emit_stats,
+                    boundary=boundary)
 
     L.SeparableConv2dSame.__call__ = wrapped
     try:
@@ -115,12 +116,13 @@ def main():
         "calls": g.size() / n_steps,
     })
 
-    # join the analytic model
+    # join the analytic model (the flax scope path ends with the module's
+    # own name: "xception/block8/sepconv1")
     def lookup(fam):
         for (path, name), u in units.items():
-            key = f"{path.split('/')[-1]}/{name}" if name and \
-                name.startswith("sepconv") else name
-            if key == fam or name == fam:
+            parts = path.split("/")
+            key = "/".join(parts[-2:]) if len(parts) >= 2 else path
+            if fam in (key, name, parts[-1]):
                 return u
         return None
 
