@@ -232,6 +232,32 @@ def _nopad_ok(h, w, c, f, d) -> bool:
     return h - th - 2 * d >= 0
 
 
+def _emit_d(h: int) -> bool:
+    """DEEPCAM_FUSED_EMIT_D=N (opt-in): units with H ≥ N emit the
+    bf16-rounded depthwise output from the FORWARD kernel so the backward
+    reads it instead of recomputing it with a 9-tap loop (kills loop C).
+    The trade favors the entry shapes (N=96 covers blocks 1–3): one HBM
+    round-trip of the d tensor vs 9 full-tile VMEM passes per grid step;
+    at the middle-flow 48-row shapes the HBM cost wins, so they keep the
+    recompute."""
+    import os
+
+    v = os.environ.get("DEEPCAM_FUSED_EMIT_D", "0")
+    return v.isdigit() and v != "0" and h >= int(v)
+
+
+def _dd16() -> bool:
+    """Round the backward's pointwise dgrad (dd) to the compute dtype
+    before the tap loops — opt-in DEEPCAM_FUSED_DD16=1 pending the
+    whole-model A/B.  This is not a precision loss vs the PARITY target:
+    the unfused XLA path's pointwise-dgrad conv emits bf16 and its
+    depthwise dgrad/wgrad convs consume that; the kernel's fp32 dd was
+    strictly tighter than required."""
+    import os
+
+    return os.environ.get("DEEPCAM_FUSED_DD16", "0") == "1"
+
+
 def _fuse_tap_loops() -> bool:
     """Merge the backward's d_dw tap loop with the dw-output recompute
     (identical tap loads, each materialized once instead of twice) —
@@ -266,7 +292,7 @@ def _pad_h(x, d):
 
 def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
                 interpret: bool = False, ab=None, emit_stats: bool = False,
-                padded: bool = True, skip=None):
+                padded: bool = True, skip=None, emit_d: bool = False):
     """xp is the H-padded input (N, H+2d, W, C).  ``ab`` (optional) is a
     pair of (1, C) per-channel scale/offset applied in-kernel BEFORE the
     relu — the folded BN-apply of the preceding BatchNorm.
@@ -336,6 +362,11 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
         dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
                              w_out=w if wpad else None)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
+        if emit_d:
+            # the bf16-rounded depthwise output, for the backward's
+            # pointwise wgrad (see _emit_d) — exactly the value the
+            # backward would otherwise recompute with 9 tap passes
+            outs[2 if emit_stats else 1][0] = db.reshape(th, w, c)
         y = jnp.dot(db, pwk_ref[...], preferred_element_type=jnp.float32)
         yr = y.astype(out_ref.dtype)
         out_ref[0] = yr.reshape(th, w, f)
@@ -376,12 +407,16 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 
     out_specs = pl.BlockSpec((1, th, w, f), lambda ni, hi: (ni, hi, 0, 0))
     out_shape = jax.ShapeDtypeStruct((n, h, w, f), xp.dtype)
-    if emit_stats or with_skip:
+    if emit_stats or with_skip or emit_d:
         out_specs = [out_specs]
         out_shape = [out_shape]
     if emit_stats:
         out_specs += [pl.BlockSpec((2, f), lambda ni, hi: (0, 0))]
         out_shape += [jax.ShapeDtypeStruct((2, f), jnp.float32)]
+    if emit_d:
+        out_specs += [pl.BlockSpec((1, th, w, c),
+                                   lambda ni, hi: (ni, hi, 0, 0))]
+        out_shape += [jax.ShapeDtypeStruct((n, h, w, c), xp.dtype)]
     if with_skip:
         out_specs += [pl.BlockSpec((1, th, w, c),
                                    lambda ni, hi: (ni, hi, 0, 0))]
@@ -406,7 +441,7 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
 
 def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
                 interpret: bool = False, ab=None, padded: bool = True,
-                stats=None, skip=None, gr=None):
+                stats=None, skip=None, gr=None, demit=None):
     """xp, gp are H-padded (N, H+2d, W, C/F).  Returns (dx (N,H,W,C) in
     x.dtype, d_dw (3,3,C) fp32, d_pw (C,F) fp32) — plus (da, db) (1, C)
     fp32 when ``ab`` is given (folded BN-apply: u = x*a + b feeds the
@@ -432,14 +467,19 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     affine = ab is not None
     with_stats = stats is not None
     with_skip = skip is not None
+    with_demit = demit is not None
     assert not (with_stats and padded)
     assert not with_skip or (affine and pre_relu and not wpad
                              and gr is not None and not with_stats)
+    assert not (with_demit and wpad)
 
     def kernel(*refs):
         idx = 2
         x_ref, g_ref = refs[:2]
-        s_ref = gr_ref = None
+        s_ref = gr_ref = d_ref = None
+        if with_demit:
+            d_ref = refs[idx]
+            idx += 1
         if with_skip:
             s_ref, gr_ref = refs[idx:idx + 2]
             idx += 2
@@ -495,6 +535,13 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             gt.reshape(thh * w_op, f), pwt_ref[...],
             preferred_element_type=jnp.float32,
         ).reshape(thh, w_op, c)
+        if _dd16():
+            # round the pointwise dgrad to the compute dtype before the
+            # tap loops — EXACTLY the unfused path's precision (its
+            # pointwise-dgrad conv emits bf16, which the depthwise dgrad
+            # and wgrad convs then consume); halves the tap loops' dd
+            # read traffic.  Products still upcast to fp32 per-term.
+            dd = dd.astype(xp.dtype)
 
         # depthwise dgrad: flipped-kernel taps of dd
         dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True,
@@ -528,7 +575,25 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             ddc = dd[d:d + th, d:d + w, :]
         else:
             ddc = dd[d:d + th, :, :]
-        if _fuse_tap_loops():
+        if with_demit or not _fuse_tap_loops():
+            for i in range(3):
+                rows = ht[i * d:i * d + th, :, :]
+                for j in range(3):
+                    if wpad:
+                        tap = rows[:, j * d:j * d + w, :].astype(jnp.float32)
+                    else:
+                        tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
+                    ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
+            if with_demit:
+                # the forward emitted the rounded depthwise output — read
+                # its center-window tile instead of the 9-tap recompute
+                dw32 = None
+                db = d_ref[0].reshape(th * w, c)
+            else:
+                # pointwise wgrad: recompute d (rounded to bf16 as fwd)
+                dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
+                                     w_out=w if wpad else None)
+        else:
             k32 = dwk_ref[...].astype(jnp.float32)
             dw32 = None
             for i in range(3):
@@ -541,19 +606,8 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
                     ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
                     term = tap * k32[i, j]
                     dw32 = term if dw32 is None else dw32 + term
-        else:
-            for i in range(3):
-                rows = ht[i * d:i * d + th, :, :]
-                for j in range(3):
-                    if wpad:
-                        tap = rows[:, j * d:j * d + w, :].astype(jnp.float32)
-                    else:
-                        tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
-                    ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
-            # pointwise wgrad: recompute d (rounded to bf16 as the fwd)
-            dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
-                                 w_out=w if wpad else None)
-        db = dw32.astype(xp.dtype).reshape(th * w, c)
+        if dw32 is not None:
+            db = dw32.astype(xp.dtype).reshape(th * w, c)
         gc = gt[d:d + th, d:d + w, :] if wpad else gt[d:d + th, :, :]
         dpw_ref[...] += lax.dot_general(
             db, gc.reshape(th * w, f),
@@ -568,6 +622,10 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         in_specs = [_halo_spec_nopad(th, d, h, w_op, c),
                     _halo_spec_nopad(th, d, h, w_op, f)]
     operands = [xp, gp]
+    if with_demit:
+        in_specs += [pl.BlockSpec((1, th, w, c),
+                                  lambda ni, hi: (ni, hi, 0, 0))]
+        operands += [demit]
     if with_skip:
         in_specs += [in_specs[0],
                      pl.BlockSpec((1, th, w, c),
@@ -657,13 +715,15 @@ def _fs_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
     # save the kernel operand as the residual: the backward consumes it
     # directly (and in padded mode XLA dedups it with the forward's pad)
     xp, padded = _prep_in(x, pwk.shape[-1], dilation)
-    y = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
-                    interpret=interpret, padded=padded)
-    return y, (xp, dwk, pwk)
+    ed = _emit_d(x.shape[1])
+    out = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+                      interpret=interpret, padded=padded, emit_d=ed)
+    y, dem = out if ed else (out, None)
+    return y, (xp, dwk, pwk, dem)
 
 
 def _fs_bwd(pre_relu, dilation, interpret, res, g):
-    xp, dwk, pwk = res
+    xp, dwk, pwk, dem = res
     padded = xp.shape[1] != g.shape[1]
     gop = g.astype(xp.dtype)
     if padded:
@@ -671,7 +731,7 @@ def _fs_bwd(pre_relu, dilation, interpret, res, g):
     dx, ddw, dpw = _bwd_pallas(
         xp, gop, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
-        padded=padded,
+        padded=padded, demit=dem,
     )
     return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
 
@@ -701,14 +761,17 @@ def fused_sepconv_affine(x, a, b, dwk, pwk, pre_relu: bool = True,
 
 def _fsa_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
     xp, padded = _prep_in(x, pwk.shape[-1], dilation)
-    y = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
-                    interpret=interpret,
-                    ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded)
-    return y, (xp, a, b, dwk, pwk)
+    ed = _emit_d(x.shape[1])
+    out = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu, dilation=dilation,
+                      interpret=interpret,
+                      ab=(a.reshape(1, -1), b.reshape(1, -1)),
+                      padded=padded, emit_d=ed)
+    y, dem = out if ed else (out, None)
+    return y, (xp, a, b, dwk, pwk, dem)
 
 
 def _fsa_bwd(pre_relu, dilation, interpret, res, g):
-    xp, a, b, dwk, pwk = res
+    xp, a, b, dwk, pwk, dem = res
     padded = xp.shape[1] != g.shape[1]
     gop = g.astype(xp.dtype)
     if padded:
@@ -716,7 +779,7 @@ def _fsa_bwd(pre_relu, dilation, interpret, res, g):
     dx, ddw, dpw, da, db = _bwd_pallas(
         xp, gop, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
-        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded, demit=dem,
     )
     return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
             ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
@@ -763,10 +826,12 @@ def fused_sepconv_stats(x, dwk, pwk, pre_relu: bool = True,
 
 def _fss_fwd(x, dwk, pwk, pre_relu, dilation, interpret):
     xp, padded = _prep_in(x, pwk.shape[-1], dilation)
-    y, s = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
-                       dilation=dilation, interpret=interpret,
-                       emit_stats=True, padded=padded)
-    return (y, s[0], s[1]), (xp, dwk, pwk, y)
+    ed = _emit_d(x.shape[1])
+    out = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
+                      dilation=dilation, interpret=interpret,
+                      emit_stats=True, padded=padded, emit_d=ed)
+    (y, s, dem) = out if ed else (out[0], out[1], None)
+    return (y, s[0], s[1]), (xp, dwk, pwk, y, dem)
 
 
 def _stats_inkernel() -> bool:
@@ -781,14 +846,14 @@ def _stats_inkernel() -> bool:
 
 
 def _fss_bwd(pre_relu, dilation, interpret, res, g):
-    xp, dwk, pwk, y = res
+    xp, dwk, pwk, y, dem = res
     gy, gs1, gs2 = g
     padded = xp.shape[1] != y.shape[1]
     if not padded and _stats_inkernel():
         dx, ddw, dpw = _bwd_pallas(
             xp, gy.astype(xp.dtype), dwk, pwk.T,
             pre_relu=pre_relu, dilation=dilation, interpret=interpret,
-            padded=False, stats=(jnp.stack([gs1, gs2]), y),
+            padded=False, stats=(jnp.stack([gs1, gs2]), y), demit=dem,
         )
         return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
     gadj = _stats_adjust(gy, gs1, gs2, y)
@@ -797,7 +862,7 @@ def _fss_bwd(pre_relu, dilation, interpret, res, g):
     dx, ddw, dpw = _bwd_pallas(
         xp, gadj, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
-        padded=padded,
+        padded=padded, demit=dem,
     )
     return dx, ddw.astype(dwk.dtype), dpw.astype(pwk.dtype)
 
@@ -820,15 +885,17 @@ def fused_sepconv_affine_stats(x, a, b, dwk, pwk, pre_relu: bool = True,
 
 def _fsas_fwd(x, a, b, dwk, pwk, pre_relu, dilation, interpret):
     xp, padded = _prep_in(x, pwk.shape[-1], dilation)
-    y, s = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
-                       dilation=dilation, interpret=interpret,
-                       ab=(a.reshape(1, -1), b.reshape(1, -1)),
-                       emit_stats=True, padded=padded)
-    return (y, s[0], s[1]), (xp, a, b, dwk, pwk, y)
+    ed = _emit_d(x.shape[1])
+    out = _fwd_pallas(xp, dwk, pwk, pre_relu=pre_relu,
+                      dilation=dilation, interpret=interpret,
+                      ab=(a.reshape(1, -1), b.reshape(1, -1)),
+                      emit_stats=True, padded=padded, emit_d=ed)
+    (y, s, dem) = out if ed else (out[0], out[1], None)
+    return (y, s[0], s[1]), (xp, a, b, dwk, pwk, y, dem)
 
 
 def _fsas_bwd(pre_relu, dilation, interpret, res, g):
-    xp, a, b, dwk, pwk, y = res
+    xp, a, b, dwk, pwk, y, dem = res
     gy, gs1, gs2 = g
     padded = xp.shape[1] != y.shape[1]
     if not padded and _stats_inkernel():
@@ -836,7 +903,7 @@ def _fsas_bwd(pre_relu, dilation, interpret, res, g):
             xp, gy.astype(xp.dtype), dwk, pwk.T,
             pre_relu=pre_relu, dilation=dilation, interpret=interpret,
             ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=False,
-            stats=(jnp.stack([gs1, gs2]), y),
+            stats=(jnp.stack([gs1, gs2]), y), demit=dem,
         )
         return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
                 ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))
@@ -846,7 +913,7 @@ def _fsas_bwd(pre_relu, dilation, interpret, res, g):
     dx, ddw, dpw, da, db = _bwd_pallas(
         xp, gadj, dwk, pwk.T,
         pre_relu=pre_relu, dilation=dilation, interpret=interpret,
-        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded,
+        ab=(a.reshape(1, -1), b.reshape(1, -1)), padded=padded, demit=dem,
     )
     return (dx, da[0].astype(a.dtype), db[0].astype(b.dtype),
             ddw.astype(dwk.dtype), dpw.astype(pwk.dtype))

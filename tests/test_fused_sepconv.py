@@ -679,3 +679,42 @@ class TestBoundaryFold:
         # (fp32 reduction-order noise amplified by random-init BN scales);
         # fold-vs-plain-fused is ~8e-5, i.e. the fold adds nothing
         assert gnorm_rel(g2, g0) < 5e-3
+
+
+class TestBwdTrafficKnobs:
+    """DD16 (bf16 pointwise-dgrad for the tap loops — the unfused path's
+    own precision) and EMIT_D (forward-emitted depthwise output replaces
+    the backward's 9-tap recompute): gradient parity in both modes."""
+
+    @pytest.mark.parametrize("env", [
+        {"DEEPCAM_FUSED_DD16": "1"},
+        {"DEEPCAM_FUSED_EMIT_D": "8"},
+        {"DEEPCAM_FUSED_DD16": "1", "DEEPCAM_FUSED_EMIT_D": "8"},
+    ])
+    def test_gradient_parity(self, env, monkeypatch):
+        from deepcam_tpu.ops.pallas.fused_sepconv import (
+            fused_sepconv_affine_stats,
+        )
+
+        rng = np.random.RandomState(3)
+        n, h, w, c, f = 2, 16, 12, 16, 24
+        x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+        a = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        b = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+        pwk = jnp.asarray(0.2 * rng.randn(c, f), jnp.float32)
+        gy = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+
+        def loss(x, a, b, dwk, pwk):
+            y, s1, s2 = fused_sepconv_affine_stats(
+                x, a, b, dwk, pwk, True, 1, True)
+            return jnp.sum(y * gy) + jnp.sum(s1 * 0.3) + jnp.sum(s2 * 0.1)
+
+        grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+        base = grad(x, a, b, dwk, pwk)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        got = grad(x, a, b, dwk, pwk)
+        for name, p, q in zip(("dx", "da", "db", "ddw", "dpw"), got, base):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
