@@ -233,16 +233,19 @@ def _nopad_ok(h, w, c, f, d) -> bool:
 
 
 def _emit_d(h: int) -> bool:
-    """DEEPCAM_FUSED_EMIT_D=N (opt-in): units with H ≥ N emit the
-    bf16-rounded depthwise output from the FORWARD kernel so the backward
-    reads it instead of recomputing it with a 9-tap loop (kills loop C).
-    The trade favors the entry shapes (N=96 covers blocks 1–3): one HBM
+    """DEEPCAM_FUSED_EMIT_D=N: units with H ≥ N emit the bf16-rounded
+    depthwise output from the FORWARD kernel so the backward reads it
+    instead of recomputing it with a 9-tap loop (kills loop C).  The
+    trade favors the entry shapes (N=96 covers blocks 1–3): one HBM
     round-trip of the d tensor vs 9 full-tile VMEM passes per grid step;
     at the middle-flow 48-row shapes the HBM cost wins, so they keep the
-    recompute."""
+    recompute.
+
+    Default 96 since the r4 wave-6 A/B: 24.39 vs 24.22 control (+0.7%).
+    DEEPCAM_FUSED_EMIT_D=0 opts out."""
     import os
 
-    v = os.environ.get("DEEPCAM_FUSED_EMIT_D", "0")
+    v = os.environ.get("DEEPCAM_FUSED_EMIT_D", "96")
     return v.isdigit() and v != "0" and h >= int(v)
 
 
