@@ -236,16 +236,16 @@ def _emit_d(h: int) -> bool:
     """DEEPCAM_FUSED_EMIT_D=N: units with H ≥ N emit the bf16-rounded
     depthwise output from the FORWARD kernel so the backward reads it
     instead of recomputing it with a 9-tap loop (kills loop C).  The
-    trade favors the entry shapes (N=96 covers blocks 1–3): one HBM
-    round-trip of the d tensor vs 9 full-tile VMEM passes per grid step;
-    at the middle-flow 48-row shapes the HBM cost wins, so they keep the
-    recompute.
-
-    Default 96 since the r4 wave-6 A/B: 24.39 vs 24.22 control (+0.7%).
-    DEEPCAM_FUSED_EMIT_D=0 opts out."""
+    trade was EXPECTED to favor only the entry shapes (one HBM
+    round-trip of the d tensor vs 9 full-tile VMEM passes per grid
+    step), but the measurements inverted the middle-flow prediction:
+    N=96 (blocks 1–3) measured 24.39/24.21 vs 24.22/24.21 controls and
+    N=48 (every fused unit) measured 24.66/24.53/24.14 — consistently
+    above every non-48 reading across three paired sessions (r4 waves
+    6–8).  Default 48; DEEPCAM_FUSED_EMIT_D=0 opts out."""
     import os
 
-    v = os.environ.get("DEEPCAM_FUSED_EMIT_D", "96")
+    v = os.environ.get("DEEPCAM_FUSED_EMIT_D", "48")
     return v.isdigit() and v != "0" and h >= int(v)
 
 
