@@ -133,8 +133,14 @@ def main():
     # (cli/train.py O1 host cast; bit-identical to the model's own entry
     # cast).  Feeding fp32 instead costs a ~3 ms/step device-side convert
     # (r2 trace) that the real driver never pays.
-    x = jnp.asarray(rng.rand(batch, 768, 1152, 16).astype(np.float32),
-                    jnp.bfloat16)
+    x_np = rng.rand(batch, 768, 1152, 16).astype(np.float32)
+    if os.environ.get("DEEPCAM_S2D_INPUT") == "1":
+        # pre-space-to-depth'd feed (the host-pipeline layout the
+        # DEEPCAM_S2D_INPUT train step consumes) — a pure permutation,
+        # done host-side exactly like the production path would
+        from deepcam_tpu.ops.conv_small_ch import s2d_host
+        x_np = s2d_host(x_np)
+    x = jnp.asarray(x_np, jnp.bfloat16)
     y = jnp.asarray(rng.randint(0, 3, size=(batch, 768, 1152)).astype(np.int32))
     x = jax.device_put(x, meshlib.batch_sharding(mesh))
     y = jax.device_put(y, meshlib.batch_sharding(mesh))

@@ -262,19 +262,26 @@ class DeepLabv3plus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_bn: bool = False,
-                 block_logits: bool = False):
+                 block_logits: bool = False, s2d_input: bool = False):
         # freeze_bn: run BN in eval mode during training (parity:
         # ``DeepLabv3_plus.freeze_bn``, deeplab_xception.py:467-470)
         # block_logits: return logits in BLOCK SPACE (N, H/2, W/2, 4, C)
         # — ``space_to_blocks`` of the full-res logits, computed without
         # the full-res materialization (deconv decoder only; the loss/IoU
         # are pixel-order-invariant, see train/trainer.py).
+        # s2d_input: x arrives pre-space-to-depth'd (N, H/2, W/2, 4·16)
+        # from the host pipeline (ops/conv_small_ch.py:s2d_host) — conv1
+        # consumes the layout directly; removes the on-device s2d
+        # transpose (~1.9 ms/step, r4 trace).
         bn_train = train and not freeze_bn
-        input_hw = x.shape[1:3]
+        if s2d_input:
+            input_hw = (x.shape[1] * 2, x.shape[2] * 2)
+        else:
+            input_hw = x.shape[1:3]
         x = x.astype(self.dtype)
         feats, low_level = Xception(
             output_stride=self.output_stride, dtype=self.dtype, name="xception"
-        )(x, bn_train)
+        )(x, bn_train, s2d_input=s2d_input)
         train = bn_train
 
         if self.output_stride == 16:

@@ -161,10 +161,16 @@ class Conv2d(nn.Module):
     # convs whose XLA wgrad is layout-pathological; PERF.md)
     small_ch_vjp: bool = False
 
+    # x arrives PRE-space-to-depth'd as (N, H/2, W/2, 4C) — the host input
+    # pipeline emits the layout and the on-device s2d transpose vanishes
+    # (requires small_ch_vjp + kernel 3x3 / stride 2; param stays the
+    # logical (3, 3, C, F))
+    s2d_pre: bool = False
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
         kh, kw = _to_pair(self.kernel_size)
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // 4 if self.s2d_pre else x.shape[-1]
         assert in_ch % self.groups == 0, (in_ch, self.groups)
         kernel = self.param(
             "kernel",
@@ -172,6 +178,14 @@ class Conv2d(nn.Module):
             (kh, kw, in_ch // self.groups, self.features),
             self.param_dtype,
         )
+        if self.s2d_pre:
+            from ..ops.conv_small_ch import conv3x3s2_s2d_pre
+
+            assert (self.small_ch_vjp and (kh, kw) == (3, 3)
+                    and self.groups == 1 and _to_pair(self.stride) == (2, 2)
+                    and self.padding == 1 and not self.use_bias)
+            return conv3x3s2_s2d_pre(
+                x.astype(self.dtype), kernel.astype(self.dtype))
         if (
             self.small_ch_vjp
             and (kh, kw) == (3, 3)

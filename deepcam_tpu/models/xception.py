@@ -201,7 +201,12 @@ class Xception(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x, train: bool,
+                 s2d_input: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``s2d_input=True``: ``x`` arrives pre-space-to-depth'd as
+        (N, H/2, W/2, 4·16) — conv1 consumes the layout directly
+        (``Conv2d(s2d_pre=True)``), removing the on-device s2d transpose
+        of the full-res input; identical math and parameter tree."""
         if self.output_stride == 16:
             entry_block3_stride = 2
             middle_block_rate = 1
@@ -218,7 +223,7 @@ class Xception(nn.Module):
         # Entry flow (small_ch_vjp: custom backward for these lane-starved
         # high-resolution convs, ops/conv_small_ch.py)
         x = Conv2d(32, 3, stride=2, padding=1, dtype=self.dtype,
-                   small_ch_vjp=True, name="conv1")(x)
+                   small_ch_vjp=True, s2d_pre=s2d_input, name="conv1")(x)
         x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = Conv2d(64, 3, stride=1, padding=1, dtype=self.dtype,

@@ -205,8 +205,8 @@ def _s2d_fwd(x, kernel):
     return _s2d_conv(xs, _s2d_kernel(kernel)), (xs, kernel)
 
 
-def _s2d_bwd(res, g):
-    xs, kernel = res
+def _s2d_bwd_core(xs, kernel, g):
+    """Shared backward: (dxs in BLOCK space, dk (3,3,C,F) fp32)."""
     n, oh, ow, c4 = xs.shape
     c = c4 // 4
     co = kernel.shape[-1]
@@ -219,7 +219,6 @@ def _s2d_bwd(res, g):
         g, kt, (1, 1), ((0, 1), (0, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    dx = _s2d_inv(dxs, c)
 
     # wgrad: four CONTIGUOUS taps of the block-padded input on the MXU
     xp = jnp.pad(xs, ((0, 0), (1, 0), (1, 0), (0, 0)))
@@ -241,10 +240,55 @@ def _s2d_bwd(res, g):
         ])
         for ky in range(3)
     ])  # (3, 3, c, co)
+    return dxs, dk
+
+
+def _s2d_bwd(res, g):
+    xs, kernel = res
+    dxs, dk = _s2d_bwd_core(xs, kernel, g)
+    dx = _s2d_inv(dxs, xs.shape[-1] // 4)
     return dx.astype(xs.dtype), dk.astype(kernel.dtype)
 
 
 conv3x3s2_s2d.defvjp(_s2d_fwd, _s2d_bwd)
+
+
+@jax.custom_vjp
+def conv3x3s2_s2d_pre(xs: jax.Array, kernel: jax.Array):
+    """``conv3x3s2_s2d`` on a PRE-space-to-depth'd input xs
+    (N, H/2, W/2, 4C) — the host input pipeline can emit this layout
+    directly, removing the on-device s2d transpose of the full-res input
+    (~1.9 ms/step at (4,768,1152,16): r4 trace copy.2478, the single
+    largest formatting op).  ``kernel`` stays the logical (3, 3, C, F);
+    the xs cotangent comes back in block space (dead for conv1, the
+    model's first layer)."""
+    return _s2d_conv(xs, _s2d_kernel(kernel))
+
+
+def _s2dp_fwd(xs, kernel):
+    return _s2d_conv(xs, _s2d_kernel(kernel)), (xs, kernel)
+
+
+def _s2dp_bwd(res, g):
+    xs, kernel = res
+    dxs, dk = _s2d_bwd_core(xs, kernel, g)
+    return dxs.astype(xs.dtype), dk.astype(kernel.dtype)
+
+
+conv3x3s2_s2d_pre.defvjp(_s2dp_fwd, _s2dp_bwd)
+
+
+def s2d_host(x):
+    """The s2d rearrange as plain numpy — for host-side input pipelines
+    (and bench feeds) that pre-format batches into the layout
+    ``conv3x3s2_s2d_pre`` consumes.  Matches ``_s2d`` exactly."""
+    import numpy as np
+
+    n, h, w, c = x.shape
+    return np.ascontiguousarray(
+        x.reshape(n, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 4 * c))
 
 
 # ---------------------------------------------------------------------------

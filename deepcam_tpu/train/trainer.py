@@ -113,6 +113,11 @@ def make_train_step(
     import os
 
     block_loss = os.environ.get("DEEPCAM_BLOCK_LOSS", "1") == "1"
+    # DEEPCAM_S2D_INPUT=1 (opt-in): x arrives pre-space-to-depth'd
+    # (N, H/2, W/2, 64) from the host pipeline — conv1 consumes the
+    # layout directly and the on-device s2d transpose of the full-res
+    # input vanishes (~1.9 ms/step, r4 trace).  Labels stay full-res.
+    s2d_in = os.environ.get("DEEPCAM_S2D_INPUT", "0") == "1"
 
     def _apply(params, batch_stats, x):
         return model.apply(
@@ -121,6 +126,7 @@ def make_train_step(
             train=True,
             mutable=["batch_stats"],
             block_logits=block_loss,
+            s2d_input=s2d_in,
         )
 
     apply_fn = _apply

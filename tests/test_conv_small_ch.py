@@ -159,3 +159,40 @@ def test_conv2d_skip_routing_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gp_on["params"]["kernel"]),
         np.asarray(gp_off["params"]["kernel"]), rtol=1e-5, atol=1e-4)
+
+
+def test_s2d_input_model_parity(monkeypatch):
+    """DEEPCAM-style pre-s2d input feed: the model on s2d_host(x) with
+    s2d_input=True is BIT-EXACT vs the (forced-)s2d baseline on x —
+    eval logits, block-space train loss, and every gradient."""
+    monkeypatch.setenv("DEEPCAM_S2D", "1")
+    from deepcam_tpu.models.deeplab import DeepLabv3plus
+    from deepcam_tpu.ops.conv_small_ch import s2d_host
+    from deepcam_tpu.train.losses import class_weights, weighted_ce_loss
+    from deepcam_tpu.train.trainer import _block_labels
+
+    model = DeepLabv3plus(n_classes=3, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 96, 16).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(5), jnp.asarray(x), train=False)
+    y0 = model.apply(v, jnp.asarray(x), train=False)
+    xs = jnp.asarray(s2d_host(x))
+    y1 = model.apply(v, xs, train=False, s2d_input=True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    W = list(class_weights())
+    yl = jnp.asarray(rng.randint(0, 3, size=(1, 64, 96)))
+
+    def loss(p, xx, s2d):
+        logits, _ = model.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, xx,
+            train=True, mutable=["batch_stats"], block_logits=True,
+            s2d_input=s2d)
+        return weighted_ce_loss(logits, _block_labels(logits, yl), W)
+
+    l0, g0 = jax.value_and_grad(loss)(v["params"], jnp.asarray(x), False)
+    l1, g1 = jax.value_and_grad(loss)(v["params"], xs, True)
+    np.testing.assert_array_equal(float(l0), float(l1))
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_array_equal(np.asarray(p),
+                                                   np.asarray(q)), g1, g0)
