@@ -134,11 +134,11 @@ def main():
     # cast).  Feeding fp32 instead costs a ~3 ms/step device-side convert
     # (r2 trace) that the real driver never pays.
     x_np = rng.rand(batch, 768, 1152, 16).astype(np.float32)
-    if os.environ.get("DEEPCAM_S2D_INPUT") == "1":
+    from deepcam_tpu.ops.conv_small_ch import s2d_host, s2d_input_active
+    if s2d_input_active():
         # pre-space-to-depth'd feed (the host-pipeline layout the
-        # DEEPCAM_S2D_INPUT train step consumes) — a pure permutation,
-        # done host-side exactly like the production path would
-        from deepcam_tpu.ops.conv_small_ch import s2d_host
+        # s2d-input train step consumes) — a pure permutation, done
+        # host-side exactly like the production pipeline does
         x_np = s2d_host(x_np)
     x = jnp.asarray(x_np, jnp.bfloat16)
     y = jnp.asarray(rng.randint(0, 3, size=(batch, 768, 1152)).astype(np.int32))

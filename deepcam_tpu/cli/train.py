@@ -241,10 +241,31 @@ def main(pargs) -> dict:
     h, w = train_set.data_shape[0], train_set.data_shape[1]
 
     host_batch = pargs.local_batch_size * n_local_replicas
+    # DEEPCAM_S2D_INPUT=1: the host workers emit each training sample in
+    # conv1's space-to-depth layout (H/2, W/2, 64) so the on-device s2d
+    # transpose of the full-res input vanishes (~2-3.5 ms/step; r4 A/B:
+    # 25.23 vs 24.73 samples/s/chip).  Data-parallel only — the GSPMD
+    # spatial path shards full-res H and doesn't consume the layout.
+    from ..ops.conv_small_ch import s2d_input_active
+
+    s2d_in = s2d_input_active() and pargs.spatial <= 1
+    if s2d_input_active() and pargs.spatial > 1:
+        # the trainer reads the gate at step-build time — pin it off so
+        # the GSPMD spatial step and the full-res loader stay consistent
+        os.environ["DEEPCAM_S2D_INPUT"] = "0"
+    s2d_tf = None
+    if s2d_in:
+        from ..ops.conv_small_ch import s2d_host
+
+        def s2d_tf(sample):
+            data, label, name = sample
+            return s2d_host(data), label, name
+
     train_loader = DataLoader(
         train_set, host_batch,
         num_workers=min(pargs.max_inter_threads * n_local, host_batch),
         drop_last=True,
+        sample_transform=s2d_tf,
     )
     eval_host_batch = pargs.eval_local_batch_size * n_local_replicas
     validation_loader = DataLoader(
@@ -406,8 +427,15 @@ def main(pargs) -> dict:
 
         viz = CamVisualizer()
 
-    def visualize_sample(state, data, label, names, step, prefix):
+    def visualize_sample(state, data, label, names, step, prefix,
+                         s2d: bool = False):
         # names covers only the real (unpadded) samples of the batch
+        if s2d:
+            # the s2d input feed delivers (N, H/2, W/2, 64) — restore the
+            # full-res layout for the eval-mode predict and the plot
+            from ..ops.conv_small_ch import s2d_inv_host
+
+            data = jnp.asarray(s2d_inv_host(np.asarray(data)))
         sample_idx = int(np.random.randint(0, len(names)))
         preds = predict(state, data)
         outputfile = os.path.basename(names[sample_idx]).replace(
@@ -544,7 +572,8 @@ def main(pargs) -> dict:
                 and step % pargs.training_visualization_frequency == 0
             ):
                 visualize_sample(
-                    state, data, np.asarray(label), names, step, "training"
+                    state, data, np.asarray(label), names, step, "training",
+                    s2d=s2d_in,
                 )
 
             if step % pargs.logging_frequency == 0:

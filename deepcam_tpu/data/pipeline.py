@@ -44,12 +44,22 @@ class DataLoader:
         num_workers: int = 4,
         drop_last: bool = True,
         prefetch_batches: int = 2,
+        sample_transform=None,
     ):
+        """``sample_transform`` (optional): applied to each
+        ``(data, label, name)`` sample INSIDE the worker pool — e.g. the
+        space-to-depth input reformat (``--s2d`` input feed) runs
+        parallel to the HDF5 reads instead of stalling the step loop."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch_batches = max(1, prefetch_batches)
+        self.sample_transform = sample_transform
+
+    def _get(self, i):
+        s = self.dataset[i]
+        return self.sample_transform(s) if self.sample_transform else s
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -76,7 +86,7 @@ class DataLoader:
             pending = collections.deque()
 
             def submit(batch):
-                return [pool.submit(self.dataset.__getitem__, i) for i in batch]
+                return [pool.submit(self._get, i) for i in batch]
 
             for b in batches[: depth + 1]:
                 pending.append(submit(b))

@@ -278,17 +278,50 @@ def _s2dp_bwd(res, g):
 conv3x3s2_s2d_pre.defvjp(_s2dp_fwd, _s2dp_bwd)
 
 
+def s2d_input_active() -> bool:
+    """Pre-space-to-depth INPUT feed (host emits conv1's s2d layout;
+    `conv3x3s2_s2d_pre` consumes it).  Tri-state DEEPCAM_S2D_INPUT:
+    0 = off, 1 = on, unset = on exactly where the s2d conv is already
+    the default lowering (TPU — r4 A/B: 25.23 vs 24.73 samples/s/chip;
+    CPU tests keep the direct-conv numerics they were written against)."""
+    import os
+
+    v = os.environ.get("DEEPCAM_S2D_INPUT")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return _use_s2d()
+
+
 def s2d_host(x):
     """The s2d rearrange as plain numpy — for host-side input pipelines
     (and bench feeds) that pre-format batches into the layout
-    ``conv3x3s2_s2d_pre`` consumes.  Matches ``_s2d`` exactly."""
+    ``conv3x3s2_s2d_pre`` consumes.  Matches ``_s2d`` exactly.
+    Accepts (N, H, W, C) or a single (H, W, C) sample."""
     import numpy as np
 
+    if x.ndim == 3:
+        return s2d_host(x[None])[0]
     n, h, w, c = x.shape
     return np.ascontiguousarray(
         x.reshape(n, h // 2, 2, w // 2, 2, c)
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(n, h // 2, w // 2, 4 * c))
+
+
+def s2d_inv_host(xs, c: int = 16):
+    """Numpy inverse of ``s2d_host`` (for visualization of s2d-fed
+    batches)."""
+    import numpy as np
+
+    if xs.ndim == 3:
+        return s2d_inv_host(xs[None], c)[0]
+    n, h2, w2, _ = xs.shape
+    return np.ascontiguousarray(
+        xs.reshape(n, h2, w2, 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, 2 * h2, 2 * w2, c))
 
 
 # ---------------------------------------------------------------------------

@@ -113,11 +113,15 @@ def make_train_step(
     import os
 
     block_loss = os.environ.get("DEEPCAM_BLOCK_LOSS", "1") == "1"
-    # DEEPCAM_S2D_INPUT=1 (opt-in): x arrives pre-space-to-depth'd
-    # (N, H/2, W/2, 64) from the host pipeline — conv1 consumes the
-    # layout directly and the on-device s2d transpose of the full-res
-    # input vanishes (~1.9 ms/step, r4 trace).  Labels stay full-res.
-    s2d_in = os.environ.get("DEEPCAM_S2D_INPUT", "0") == "1"
+    # Pre-s2d input feed (default ON on TPU, r4 A/B 25.23 vs 24.73;
+    # DEEPCAM_S2D_INPUT tri-state, see ops/conv_small_ch.py): x arrives
+    # space-to-depth'd (N, H/2, W/2, 64) from the host pipeline — conv1
+    # consumes the layout directly and the on-device s2d transpose of
+    # the full-res input vanishes (~2-3.5 ms/step, r4 trace).  Labels
+    # stay full-res.
+    from ..ops.conv_small_ch import s2d_input_active
+
+    s2d_in = s2d_input_active()
 
     def _apply(params, batch_stats, x):
         return model.apply(

@@ -46,14 +46,19 @@ def run(outdir: str) -> dict:
         "--save_frequency", "10000",           # convergence run: no ckpt cost
         "--amp_opt_level", "O1",
         "--optimizer", "LAMB",
-        "--start_lr", "0.002",
+        # r4 retune: the r3-drafted 0.002 peak-lr config (whose results
+        # were stranded with the r3f queue) measured hot — eval IoU peaked
+        # 0.37 at the first eval then degraded to a 0.29 plateau
+        # (analysis/convergence_r4_hot.log).  0.0005 warmed to 0.001 with
+        # a later milestone learns monotonically.
+        "--start_lr", "0.0005",
         "--adam_eps", "1e-8",
         "--weight_decay", "0.01",
         "--lr_warmup_steps", "32",
         "--lr_warmup_factor", "2.0",
         # milestone INSIDE the horizon so the decay is exercised pre-target
-        "--lr_schedule", "type=multistep,milestones=128,decay_rate=0.5",
-        "--target_iou", "0.72",
+        "--lr_schedule", "type=multistep,milestones=192,decay_rate=0.5",
+        "--target_iou", "0.45",
         "--seed", "333",
     ])
     return main(args)

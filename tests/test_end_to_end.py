@@ -159,3 +159,34 @@ def test_resume_from_checkpoint(tmp_path):
     # :535) -> re-runs epoch 0 and epoch 1, one step each
     assert r2["step"] == 3
     assert r2["epoch"] == 2
+
+
+def test_s2d_input_cli_run(tmp_path, monkeypatch):
+    """DEEPCAM_S2D_INPUT=1: the host workers feed conv1's space-to-depth
+    layout; the driver trains, validates (full-res eval path), and renders
+    training visualizations through the inverse rearrange."""
+    monkeypatch.setenv("DEEPCAM_S2D_INPUT", "1")
+    # force the s2d conv baseline so CPU numerics match the fed layout
+    monkeypatch.setenv("DEEPCAM_S2D", "1")
+    root = make_synthetic_dataset(
+        str(tmp_path / "data"), n_train=8, n_validation=6, shape=(32, 48)
+    )
+    outdir = str(tmp_path / "out")
+    args = build_parser().parse_args([
+        "--data_dir_prefix", root,
+        "--output_dir", outdir,
+        "--run_tag", "s2din",
+        "--local_batch_size", "1",
+        "--max_epochs", "1",
+        "--logging_frequency", "1",
+        "--validation_frequency", "1",
+        "--training_visualization_frequency", "1",
+        "--save_frequency", "100",
+        "--amp_opt_level", "O0",
+        "--target_iou", "2.0",
+    ])
+    result = main(args)
+    assert result["step"] == 1
+    assert result["eval_iou"] is not None
+    plots = os.listdir(os.path.join(outdir, "plots"))
+    assert any(p.startswith("training-") for p in plots), plots
