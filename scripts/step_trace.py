@@ -46,8 +46,11 @@ step_fn = make_train_step(
 rng = np.random.RandomState(0)
 # host-cast bf16 feed exactly like bench.py / the production input path —
 # keeps the traced graph identical to (and compile-cached with) bench's
-x = jnp.asarray(rng.rand(BATCH, 768, 1152, 16).astype(np.float32),
-                jnp.bfloat16)
+x_np = rng.rand(BATCH, 768, 1152, 16).astype(np.float32)
+from deepcam_tpu.ops.conv_small_ch import s2d_host, s2d_input_active  # noqa: E402
+if s2d_input_active():
+    x_np = s2d_host(x_np)
+x = jnp.asarray(x_np, jnp.bfloat16)
 y = jnp.asarray(rng.randint(0, 3, size=(BATCH, 768, 1152)).astype(np.int32))
 x = jax.device_put(x, meshlib.batch_sharding(mesh))
 y = jax.device_put(y, meshlib.batch_sharding(mesh))
