@@ -127,9 +127,21 @@ def _pick_row_tile(h: int, w: int, c: int, f: int, d: int) -> int:
 
 
 def _shift_w(t, o):
-    """out[:, w] = t[:, w+o], zero-filled where w+o is out of range."""
+    """out[:, w] = t[:, w+o], zero-filled where w+o is out of range.
+
+    Default form: two-piece zero-block concat.  ``DEEPCAM_FUSED_ROLL=1``
+    (round-5 plan P1, opt-in pending a hardware A/B) expresses the same
+    shift as a sublane rotate (``pltpu.roll``) + iota edge mask — the
+    concat materializes a fresh (th, W, C) buffer per tap while a rotate
+    is a register-level sublane permute the VPU can do in place."""
     if o == 0:
         return t
+    import os
+    if os.environ.get("DEEPCAM_FUSED_ROLL", "0") == "1":
+        r = pltpu.roll(t, (-o) % t.shape[1], 1)  # roll wants shift >= 0
+        idx = lax.broadcasted_iota(jnp.int32, (1, t.shape[1], 1), 1)
+        valid = (idx < t.shape[1] - o) if o > 0 else (idx >= -o)
+        return jnp.where(valid, r, jnp.zeros((), t.dtype))
     z = jnp.zeros((t.shape[0], abs(o), t.shape[2]), t.dtype)
     if o > 0:
         return jnp.concatenate([t[:, o:, :], z], axis=1)

@@ -54,6 +54,19 @@ def test_fused_sepconv_s1_lowers(pre_relu, dilation, monkeypatch):
     _lower(_grad_all(fn, 3), x, dwk, pwk)
 
 
+@pytest.mark.parametrize("dilation", [1, 2])
+def test_fused_sepconv_roll_shift_lowers(dilation, monkeypatch):
+    # DEEPCAM_FUSED_ROLL=1: tap shifts as pltpu.roll sublane rotates
+    # instead of zero-block concats (round-5 plan P1, opt-in)
+    monkeypatch.setenv("DEEPCAM_FUSED_ROLL", "1")
+    from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv
+
+    x, _, _, dwk, pwk = _s1_operands()
+    fn = functools.partial(fused_sepconv, dilation=dilation)
+    _lower(fn, x, dwk, pwk)
+    _lower(_grad_all(fn, 3), x, dwk, pwk)
+
+
 @pytest.mark.parametrize("nopad", ["0", "1"])
 def test_fused_sepconv_s1_stats_affine_lowers(nopad, monkeypatch):
     monkeypatch.setenv("DEEPCAM_FUSED_NOPAD", nopad)
