@@ -138,10 +138,14 @@ def _shift_w(t, o):
         return t
     import os
     if os.environ.get("DEEPCAM_FUSED_ROLL", "0") == "1":
-        r = pltpu.roll(t, (-o) % t.shape[1], 1)  # roll wants shift >= 0
+        # server-side Mosaic: "Rotate with non-32-bit data" not
+        # implemented — rotate in fp32 (every call site casts the
+        # shifted tap to fp32 immediately anyway)
+        t32 = t.astype(jnp.float32)
+        r = pltpu.roll(t32, (-o) % t.shape[1], 1)  # roll wants shift >= 0
         idx = lax.broadcasted_iota(jnp.int32, (1, t.shape[1], 1), 1)
         valid = (idx < t.shape[1] - o) if o > 0 else (idx >= -o)
-        return jnp.where(valid, r, jnp.zeros((), t.dtype))
+        return jnp.where(valid, r, jnp.zeros((), jnp.float32))
     z = jnp.zeros((t.shape[0], abs(o), t.shape[2]), t.dtype)
     if o > 0:
         return jnp.concatenate([t[:, o:, :], z], axis=1)
