@@ -129,15 +129,16 @@ def _pick_row_tile(h: int, w: int, c: int, f: int, d: int) -> int:
 def _shift_w(t, o):
     """out[:, w] = t[:, w+o], zero-filled where w+o is out of range.
 
-    Default form: two-piece zero-block concat.  ``DEEPCAM_FUSED_ROLL=1``
-    (round-5 plan P1, opt-in pending a hardware A/B) expresses the same
-    shift as a sublane rotate (``pltpu.roll``) + iota edge mask — the
-    concat materializes a fresh (th, W, C) buffer per tap while a rotate
-    is a register-level sublane permute the VPU can do in place."""
+    Default (``DEEPCAM_FUSED_ROLL=1``, r4 wave-13 A/B/A: 25.29/25.34 vs
+    controls 25.06/25.16/25.14 — every roll reading above every control):
+    the shift is a sublane rotate (``pltpu.roll``) + iota edge mask — a
+    register-level sublane permute.  ``=0`` restores the two-piece
+    zero-block concat, which materializes a fresh (th, W, C) buffer per
+    tap."""
     if o == 0:
         return t
     import os
-    if os.environ.get("DEEPCAM_FUSED_ROLL", "0") == "1":
+    if os.environ.get("DEEPCAM_FUSED_ROLL", "1") == "1":
         # server-side Mosaic: "Rotate with non-32-bit data" not
         # implemented — rotate in fp32 (every call site casts the
         # shifted tap to fp32 immediately anyway)
