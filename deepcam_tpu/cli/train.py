@@ -276,9 +276,13 @@ def main(pargs) -> dict:
 
     logger.log_event(key="train_samples", value=train_set.global_size)
     if pargs.max_validation_steps is not None:
+        # the reference computes this bound with the TRAIN batch size even
+        # though its eval loop is batch-1 (train_hdf5_ddp.py:310-311) —
+        # reproduced verbatim; the actual evaluated-sample budget below is
+        # batch-size-independent
         val_size = min(
             validation_set.global_size,
-            pargs.max_validation_steps * pargs.eval_local_batch_size * n_replicas,
+            pargs.max_validation_steps * pargs.local_batch_size * n_replicas,
         )
     else:
         val_size = validation_set.global_size
@@ -485,49 +489,61 @@ def main(pargs) -> dict:
     logger.log_start(key="run_start", sync=True)
     run_start_time = time.time()
 
+    from ..data.pipeline import prefetch_put
+
     def run_validation(state, epoch, step):
         nonlocal stop_training
         logger.log_start(key="eval_start", metadata={"epoch_num": epoch + 1})
-        count = loss_sum = iou_sum = 0.0
-        visualized = False
-        max_samples = None
+        # per-host sample budget: each local REPLICA plays one reference
+        # rank, whose batch-1 loop breaks only AFTER processing sample
+        # max_validation_steps+1 (post-increment check, train_hdf5_ddp.py
+        # :484-487) — a per-RANK sample count, independent of our
+        # --eval_local_batch_size
+        budget = None
         if pargs.max_validation_steps is not None:
-            # reference processes max_validation_steps+1 batch-1 samples per
-            # rank before breaking (post-increment check, :484-487)
-            max_samples = (pargs.max_validation_steps + 1) * pargs.eval_local_batch_size
-        seen_local = 0
-        for data, label, names in validation_loader:
-            n = data.shape[0]
-            valid = np.ones((n,), np.float32)
-            # per-host budget: each local REPLICA (n_local/spatial of them)
-            # plays one reference rank; n_local would over-evaluate by
-            # spatial x under --spatial > 1
-            if (max_samples is not None
-                    and seen_local + n > max_samples * n_local_replicas):
-                keep = max(0, max_samples * n_local_replicas - seen_local)
-                valid[keep:] = 0.0
-            if n < eval_host_batch:  # pad trailing partial batch
-                pad = eval_host_batch - n
-                data = np.concatenate([data, np.zeros((pad,) + data.shape[1:], data.dtype)])
-                label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
-                valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
-            seen_local += n
-            d = meshlib.put_global(cast_input(data), data_sharding)
-            l = meshlib.put_global(label, data_sharding)
-            v = meshlib.put_global(valid, valid_sharding)
-            c, ls, isum = eval_step(state, d, l, v)
-            count += float(c); loss_sum += float(ls); iou_sum += float(isum)
+            budget = (pargs.max_validation_steps + 1) * n_local_replicas
+
+        def host_batches():
+            seen_local = 0
+            for data, label, names in validation_loader:
+                n = data.shape[0]
+                valid = np.ones((n,), np.float32)
+                if budget is not None and seen_local + n > budget:
+                    valid[max(0, budget - seen_local):] = 0.0
+                if n < eval_host_batch:  # pad trailing partial batch
+                    pad = eval_host_batch - n
+                    data = np.concatenate([data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+                    label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
+                    valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
+                seen_local += n
+                yield cast_input(data), label, valid, names
+                if budget is not None and seen_local >= budget:
+                    return
+
+        # Overlapped eval loop: batches prefetch to device while the
+        # previous eval_step runs, and the (count, loss, iou) partials stay
+        # ON DEVICE until one device_get at loop end — the per-batch
+        # ``float()`` fetches would serialize a blocking host round trip
+        # (~3.3 ms dispatch floor each through the relay) per batch
+        # (measured: scripts/eval_bench.py --overlap A/B).
+        partials = []
+        visualized = False
+        for d, l, v, names in prefetch_put(
+            host_batches(), (data_sharding, data_sharding, valid_sharding,
+                             None),
+        ):
+            partials.append(eval_step(state, d, l, v))
             if (
                 viz is not None
                 and pargs.validation_visualization_frequency > 0
                 and not visualized
             ):
-                visualize_sample(state, d, np.asarray(label), names, step,
+                visualize_sample(state, d, np.asarray(l), names, step,
                                  "validation")
                 visualized = True
-            if (max_samples is not None
-                    and seen_local >= max_samples * n_local_replicas):
-                break
+        count = loss_sum = iou_sum = 0.0
+        for c, ls, isum in jax.device_get(partials):
+            count += float(c); loss_sum += float(ls); iou_sum += float(isum)
         loss_avg_val = loss_sum / max(count, 1.0)
         iou_avg_val = iou_sum / max(count, 1.0)
         logger.log_event(key="eval_accuracy", value=iou_avg_val,

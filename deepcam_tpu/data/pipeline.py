@@ -106,17 +106,14 @@ class DataLoader:
                 yield data, label, names
 
 
-def prefetch_to_device(
-    iterator,
-    data_sharding=None,
-    label_sharding=None,
-    depth: int = 2,
-):
+def prefetch_put(iterator, shardings, depth: int = 2):
     """Wrap a host batch iterator with asynchronous device placement.
 
-    Issues ``jax.device_put`` for up to ``depth`` upcoming batches so the
-    host→HBM DMA of batch k+1 overlaps step k's compute (device_put is async
-    under JAX's dispatch).  Filenames pass through untouched.
+    Each item is a tuple; ``item[i]`` is placed with ``shardings[i]`` (a
+    ``None`` sharding passes the element through untouched — e.g. filename
+    tuples).  Up to ``depth`` upcoming items are placed ahead so the
+    host→HBM DMA of batch k+1 overlaps step k's compute (device_put is
+    async under JAX's dispatch).
 
     Multi-process runs route through ``core.mesh.put_global`` so each host's
     batch becomes one SHARD of the global batch (not a conflicting "global"
@@ -127,10 +124,10 @@ def prefetch_to_device(
     queue = collections.deque()
 
     def put(item):
-        data, label, names = item
-        d = put_global(data, data_sharding)
-        l = put_global(label, label_sharding)
-        queue.append((d, l, names))
+        queue.append(tuple(
+            el if sh is None else put_global(el, sh)
+            for el, sh in zip(item, shardings)
+        ))
 
     it = iter(iterator)
     try:
@@ -146,3 +143,15 @@ def prefetch_to_device(
         except StopIteration:
             pass
         yield item
+
+
+def prefetch_to_device(
+    iterator,
+    data_sharding=None,
+    label_sharding=None,
+    depth: int = 2,
+):
+    """``prefetch_put`` for the training ``(data, label, names)`` triple."""
+    return prefetch_put(
+        iterator, (data_sharding, label_sharding, None), depth=depth
+    )

@@ -16,7 +16,10 @@ forward (per grid step):
                                           window — Pallas pipelines it)
     h    = relu(xt)                      (VPU; skipped when pre_relu=False)
     d    = sum of 9 shifted taps h*k     (VPU, fp32 acc; W shifts in-kernel
-                                          via slice + zero-block concat)
+                                          as fp32 pltpu.roll sublane rotates
+                                          + iota edge masks by default —
+                                          DEEPCAM_FUSED_ROLL=0 restores the
+                                          slice + zero-block concat form)
     y    = d @ pw                        (MXU, fp32 acc, bf16 out)
 
 backward (per grid step):
@@ -289,6 +292,26 @@ def _fuse_tap_loops() -> bool:
     return os.environ.get("DEEPCAM_FUSED_TAPS1", "0") == "1"
 
 
+def _csplit(c: int, h: int) -> int:
+    """Number of channel (lane-dim) chunks for the BACKWARD tap loops —
+    the r4 closing audit's c-minor-split probe (round5_plan P1): the fp32
+    tap loops A (dgrad) and B (dw wgrad) are VMEM-traffic/live-range
+    bound at the entry shapes; processing the channel dim in chunks cuts
+    the live set per unrolled tap expression so Mosaic can keep
+    accumulator tiles register-resident across taps.  Opt-in
+    ``DEEPCAM_FUSED_CSPLIT=N`` (N chunks, must divide C), applied at
+    units with H ≥ ``DEEPCAM_FUSED_CSPLIT_MINH`` (default 96 — the entry
+    blocks); 0/1 = off."""
+    import os
+
+    v = os.environ.get("DEEPCAM_FUSED_CSPLIT", "0")
+    n = int(v) if v.isdigit() else 0
+    minh = int(os.environ.get("DEEPCAM_FUSED_CSPLIT_MINH", "96"))
+    if n <= 1 or h < minh or c % n != 0 or _use_wpad():
+        return 1
+    return n
+
+
 def _use_wpad() -> bool:
     """W-halo in the operand (pad W like H): every in-kernel tap becomes a
     pure 2D slice instead of a zero-block-concat W shift.  Measured r2 on
@@ -492,6 +515,7 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
     assert not with_skip or (affine and pre_relu and not wpad
                              and gr is not None and not with_stats)
     assert not (with_demit and wpad)
+    ncs = _csplit(c, h)
 
     def kernel(*refs):
         idx = 2
@@ -563,9 +587,20 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             # read traffic.  Products still upcast to fp32 per-term.
             dd = dd.astype(xp.dtype)
 
-        # depthwise dgrad: flipped-kernel taps of dd
-        dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True,
-                           w_out=w if wpad else None)
+        # depthwise dgrad: flipped-kernel taps of dd — chunk-major over
+        # the lane dim under CSPLIT (see _csplit): each chunk's 9-tap
+        # accumulator lives alone, then the chunks concat back
+        if ncs > 1:
+            csz = c // ncs
+            kk = dwk_ref[...]
+            dh = jnp.concatenate([
+                _dw_from_halo(dd[:, :, ci * csz:(ci + 1) * csz],
+                              kk[:, :, ci * csz:(ci + 1) * csz],
+                              th=th, d=d, flip=True)
+                for ci in range(ncs)], axis=-1)
+        else:
+            dh = _dw_from_halo(dd, dwk_ref[...], th=th, d=d, flip=True,
+                               w_out=w if wpad else None)
         if with_skip:
             # the r output's external cotangent joins the in-kernel tap
             # contribution BEFORE the relu mask: d_r_total = taps + gr
@@ -596,14 +631,36 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
         else:
             ddc = dd[d:d + th, :, :]
         if with_demit or not _fuse_tap_loops():
-            for i in range(3):
-                rows = ht[i * d:i * d + th, :, :]
-                for j in range(3):
-                    if wpad:
-                        tap = rows[:, j * d:j * d + w, :].astype(jnp.float32)
-                    else:
-                        tap = _shift_w(rows, (j - 1) * d).astype(jnp.float32)
-                    ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
+            if ncs > 1:
+                # chunk-major dw wgrad: all 9 taps of one lane chunk
+                # before moving on (accumulators stay hot), single
+                # full-width ref update per tap position
+                csz = c // ncs
+                parts = [[[] for _ in range(3)] for _ in range(3)]
+                for ci in range(ncs):
+                    sl = slice(ci * csz, (ci + 1) * csz)
+                    ddcs = ddc[:, :, sl]
+                    for i in range(3):
+                        rows = ht[i * d:i * d + th, :, sl]
+                        for j in range(3):
+                            tap = _shift_w(
+                                rows, (j - 1) * d).astype(jnp.float32)
+                            parts[i][j].append(
+                                jnp.sum(tap * ddcs, axis=(0, 1)))
+                for i in range(3):
+                    for j in range(3):
+                        ddw_ref[i, j, :] += jnp.concatenate(parts[i][j])
+            else:
+                for i in range(3):
+                    rows = ht[i * d:i * d + th, :, :]
+                    for j in range(3):
+                        if wpad:
+                            tap = rows[:, j * d:j * d + w, :].astype(
+                                jnp.float32)
+                        else:
+                            tap = _shift_w(
+                                rows, (j - 1) * d).astype(jnp.float32)
+                        ddw_ref[i, j, :] += jnp.sum(tap * ddc, axis=(0, 1))
             if with_demit:
                 # the forward emitted the rounded depthwise output — read
                 # its center-window tile instead of the 9-tap recompute

@@ -62,6 +62,27 @@ def test_max_validation_steps_invalid_submission(root, tmp_path):
     assert by["eval_samples"]["value"] <= 6
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("eval_batch", ["1", "16"])
+def test_max_validation_steps_sample_budget(tmp_path_factory, eval_batch):
+    """The validation budget is ``max_validation_steps + 1`` SAMPLES per
+    reference rank (= per local replica), independent of our
+    --eval_local_batch_size: the reference's batch-1 loop post-increments
+    ``step_val`` and breaks only when it EXCEEDS the flag
+    (train_hdf5_ddp.py:484-487).  8 replicas x (1+1) = 16 samples here,
+    for eval batch 1 and 16 alike."""
+    base = tmp_path_factory.mktemp("mvb")
+    root = make_synthetic_dataset(
+        str(base / "data"), n_train=8, n_validation=40, shape=(32, 48)
+    )
+    out = str(base / "out")
+    res = main(_args(root, out, "mvb", extra=[
+        "--max_validation_steps", "1",
+        "--eval_local_batch_size", eval_batch,
+    ]))
+    assert res["eval_samples_seen"] == 16.0
+
+
 def test_cli_flag_surface_covers_reference():
     """Every reference CLI flag (train_hdf5_ddp.py:549-577) has a counterpart
     (same name, or a documented TPU-native replacement)."""

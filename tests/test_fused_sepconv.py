@@ -48,6 +48,35 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("n,h,w,c,f,pre_relu,dilation",
+                         [CASES[0], CASES[3], CASES[4]])
+def test_csplit_gradient_parity(n, h, w, c, f, pre_relu, dilation,
+                                monkeypatch):
+    """DEEPCAM_FUSED_CSPLIT=2 (chunk-major backward tap loops, round-5
+    c-minor split) — bit-level question is only op ORDER inside fp32
+    accumulation, so the parity bar matches the unsplit test's."""
+    monkeypatch.setenv("DEEPCAM_FUSED_CSPLIT", "2")
+    monkeypatch.setenv("DEEPCAM_FUSED_CSPLIT_MINH", "8")
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)
+    pwk = jnp.asarray(0.3 * rng.randn(c, f), jnp.float32)
+    ct = jnp.asarray(rng.randn(n, h, w, f), jnp.float32)
+
+    def loss_fused(x, dwk, pwk):
+        return jnp.sum(fused_sepconv(x, dwk, pwk, pre_relu, dilation, True)
+                       * ct)
+
+    def loss_ref(x, dwk, pwk):
+        return jnp.sum(_reference(x, dwk, pwk, pre_relu, dilation) * ct)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(x, dwk, pwk)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, dwk, pwk)
+    for g, r in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("n,h,w,c,f,pre_relu,dilation", CASES)
 def test_forward_parity(n, h, w, c, f, pre_relu, dilation):
     rng = np.random.RandomState(0)
@@ -61,8 +90,13 @@ def test_forward_parity(n, h, w, c, f, pre_relu, dilation):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("roll", ["0", "1"])
 @pytest.mark.parametrize("n,h,w,c,f,pre_relu,dilation", CASES)
-def test_gradient_parity(n, h, w, c, f, pre_relu, dilation):
+def test_gradient_parity(n, h, w, c, f, pre_relu, dilation, roll,
+                         monkeypatch):
+    # both tap-shift forms: fp32 pltpu.roll rotate (default) and the
+    # zero-block-concat fallback (DEEPCAM_FUSED_ROLL=0)
+    monkeypatch.setenv("DEEPCAM_FUSED_ROLL", roll)
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
     dwk = jnp.asarray(0.3 * rng.randn(3, 3, c), jnp.float32)

@@ -43,9 +43,13 @@ def _s1_operands(c=128, f=128, h=48, w=72):
     return x, a, b, dwk, pwk
 
 
+@pytest.mark.parametrize("roll", ["0", "1"])
 @pytest.mark.parametrize("pre_relu", [True, False])
 @pytest.mark.parametrize("dilation", [1, 2])
-def test_fused_sepconv_s1_lowers(pre_relu, dilation, monkeypatch):
+def test_fused_sepconv_s1_lowers(pre_relu, dilation, roll, monkeypatch):
+    # roll=1 (default): tap shifts as fp32 pltpu.roll sublane rotates;
+    # roll=0: the zero-block-concat fallback (debug/opt-out arm)
+    monkeypatch.setenv("DEEPCAM_FUSED_ROLL", roll)
     from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv
 
     x, _, _, dwk, pwk = _s1_operands()
@@ -54,16 +58,16 @@ def test_fused_sepconv_s1_lowers(pre_relu, dilation, monkeypatch):
     _lower(_grad_all(fn, 3), x, dwk, pwk)
 
 
-@pytest.mark.parametrize("dilation", [1, 2])
-def test_fused_sepconv_roll_shift_lowers(dilation, monkeypatch):
-    # DEEPCAM_FUSED_ROLL=1: tap shifts as pltpu.roll sublane rotates
-    # instead of zero-block concats (round-5 plan P1, opt-in)
-    monkeypatch.setenv("DEEPCAM_FUSED_ROLL", "1")
+@pytest.mark.parametrize("csplit", ["2", "4"])
+def test_fused_sepconv_csplit_lowers(csplit, monkeypatch):
+    # DEEPCAM_FUSED_CSPLIT=N: chunk-major backward tap loops (round-5
+    # c-minor split); entry-shape gate lowered so the s1 shape qualifies
+    monkeypatch.setenv("DEEPCAM_FUSED_CSPLIT", csplit)
+    monkeypatch.setenv("DEEPCAM_FUSED_CSPLIT_MINH", "8")
     from deepcam_tpu.ops.pallas.fused_sepconv import fused_sepconv
 
     x, _, _, dwk, pwk = _s1_operands()
-    fn = functools.partial(fused_sepconv, dilation=dilation)
-    _lower(fn, x, dwk, pwk)
+    fn = functools.partial(fused_sepconv, pre_relu=True, dilation=1)
     _lower(_grad_all(fn, 3), x, dwk, pwk)
 
 
