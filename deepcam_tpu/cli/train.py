@@ -98,9 +98,18 @@ def build_parser() -> ap.ArgumentParser:
                          "either format from the --checkpoint path.")
     AP.add_argument("--spatial", type=int, default=1,
                     help="Spatial partitioning factor: each sample's H dim is "
-                         "sharded over this many ICI-neighbor chips (GSPMD "
-                         "path, sync-BN semantics); 1 = pure data parallel "
-                         "(shard_map path, reference DDP parity)")
+                         "sharded over this many ICI-neighbor chips; "
+                         "1 = pure data parallel (reference DDP parity)")
+    AP.add_argument("--spatial_impl", type=str, default="shard_map",
+                    choices=["shard_map", "gspmd"],
+                    help="shard_map (default): explicit halo-strip "
+                         "exchange that keeps every fused Pallas kernel "
+                         "active, BN stats sync per spatial group (exact "
+                         "reference per-rank-BN semantics with rank = "
+                         "group); gspmd: the SPMD-partitioner path "
+                         "(global sync-BN, unfused XLA lowering — the "
+                         "partitioner cannot shard through the Pallas "
+                         "custom-calls)")
     return AP
 
 
@@ -344,7 +353,25 @@ def main(pargs) -> dict:
         for data, label, names in it:
             yield cast_input(data), label, names
     weights = list(class_weights(pargs.loss_weight_pow))
-    if spatial > 1:
+    if spatial > 1 and pargs.spatial_impl == "shard_map":
+        # fused-kernel spatial path (parallel/spatial.py): explicit
+        # halo-strip exchange inside shard_map — every Pallas kernel and
+        # custom VJP stays active, and each spatial GROUP computes exactly
+        # one reference DDP rank's BN statistics.
+        from ..parallel.spatial import (
+            make_eval_step_spatial,
+            make_train_step_spatial,
+        )
+
+        train_step = make_train_step_spatial(
+            model, tx, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2,
+            remat=pargs.remat,
+        )
+        train_step_metrics = train_step
+        eval_step = make_eval_step_spatial(
+            model, weights, mesh, fpw_1=FPW_1, fpw_2=FPW_2
+        )
+    elif spatial > 1:
         # data x spatial via the SPMD partitioner (sync-BN semantics —
         # parallel/gspmd.py docstring); shard_map path keeps DDP parity.
         # The fused sepconv Pallas custom-calls are opaque to the SPMD

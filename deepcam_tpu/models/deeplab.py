@@ -35,25 +35,37 @@ Dtype = Any
 
 
 def _split_concat() -> bool:
-    """DEEPCAM_SPLIT_CONCAT=1: lower ``conv(concat(parts))`` as the
+    """DEEPCAM_SPLIT_CONCAT: lower ``conv(concat(parts))`` as the
     mathematically-identical ``Σ conv(part, k_slice)`` — the concatenated
     tensor (ASPP's 1280-lane merge, the decoder's unaligned 304-lane
     skip-join) never materializes and each partial conv's epilogue fuses
-    the add.  Parameter tree is unchanged (one kernel, sliced).  Opt-in
-    pending TPU A/B; numerics differ only by bf16 rounding of the partial
-    sums (parity test: tests/test_model.py)."""
-    return os.environ.get("DEEPCAM_SPLIT_CONCAT", "0") == "1"
+    the add.  Parameter tree is unchanged (one kernel, sliced); numerics
+    differ only by bf16 rounding of the partial sums (parity test:
+    tests/test_model.py).
+
+    Default ON since r5 wave-1/2: 25.65/25.64 vs same-session controls
+    25.32/25.33 (+1.3%, twice) on the r4-final graph — the r2 verdict
+    (0.995x) predated BLOCK_LOSS/boundary-fold/EMIT_D and inverted.
+    DEEPCAM_SPLIT_CONCAT=0 opts out."""
+    return os.environ.get("DEEPCAM_SPLIT_CONCAT", "1") == "1"
 
 
 def _conv_concat_split(parts, kernel, *, padding, compute_dtype):
     """``conv2d(concat(parts, -1), kernel)`` without the concat."""
+    from ..parallel.spatial import conv3x3_strip_fix, spatial_active
+
     out = None
     off = 0
     k = kernel.astype(compute_dtype)
+    # under spatial H-sharding each 3x3 partial conv gets its own halo
+    # strip (the corrections are additive across parts, like the convs)
+    sp = spatial_active() and kernel.shape[0] == 3 and padding == 1
     for p in parts:
         c = p.shape[-1]
-        y = conv2d(p.astype(compute_dtype), k[:, :, off:off + c],
-                   padding=padding)
+        ks = k[:, :, off:off + c]
+        y = conv2d(p.astype(compute_dtype), ks, padding=padding)
+        if sp:
+            y = conv3x3_strip_fix(y, p.astype(compute_dtype), ks, 1, 1)
         out = y if out is None else out + y
         off += c
     return out
@@ -291,43 +303,78 @@ class DeepLabv3plus(nn.Module):
         else:
             raise NotImplementedError
 
-        branches = [
-            ASPPModule(256, rate=r, dtype=self.dtype, name=f"aspp{i+1}")(feats, train)
-            for i, r in enumerate(rates)
-        ]
+        # Spatial H-sharding: the atrous rates (up to 18) exceed the shard
+        # extent at stride 16, so the ASPP neighborhood runs on the
+        # gathered full-H tensor (tiny: 48x72 per sample) — replicated
+        # across the spatial group, with plain (unsynced) BN statistics
+        # since every chip computes identical values — and the merged
+        # output is sliced back to this shard's rows for the decoder.
+        from ..parallel.spatial import spatial_active as _sp_active
 
-        # Global-average-pool branch: mean over HW (fp32) → 1x1 conv → BN →
-        # ReLU → align-corners bilinear up (from 1x1 this is a broadcast).
-        # PyTorch-default init (module defined outside Xception/ASPP, :425-428).
-        gap = jnp.mean(feats.astype(jnp.float32), axis=(1, 2), keepdims=True)
-        gap = gap.astype(self.dtype)
-        gap = Conv2d(
-            256, 1, kernel_init=torch_default_conv_kernel_init(),
-            dtype=self.dtype, name="gap_conv",
-        )(gap)
-        gap = BatchNorm2d(dtype=self.dtype, name="gap_bn")(gap, train)
-        gap = nn.relu(gap)
-        gap = resize_bilinear_align_corners(gap, branches[-1].shape[1:3])
-        branches.append(gap)
+        sp = _sp_active()
+        if sp:
+            import contextlib as _ctxlib
 
-        if _split_concat():
-            # 1x1 merge conv as five partial matmuls — the 1280-lane concat
-            # never materializes and each branch's BN/ReLU fuses into its
-            # own partial's prologue
-            k1 = _KernelParam(
-                (1, 1, 256 * len(branches), 256),
-                torch_default_conv_kernel_init(), name="conv1",
-            )()
-            x = _conv_concat_split(branches, k1, padding=0,
-                                   compute_dtype=self.dtype)
+            from ..parallel.spatial import (
+                gather_rows,
+                my_rows,
+                replicated_region,
+            )
+
+            assert self.decoder == "deconv", (
+                "spatial mode supports the deconv decoder")
+            hs16 = feats.shape[1]
+            feats_work = gather_rows(feats)
+            region = replicated_region()
         else:
-            x = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280
-            x = Conv2d(
+            import contextlib as _ctxlib
+
+            feats_work = feats
+            region = _ctxlib.nullcontext()
+
+        with region:
+            branches = [
+                ASPPModule(256, rate=r, dtype=self.dtype, name=f"aspp{i+1}")(
+                    feats_work, train)
+                for i, r in enumerate(rates)
+            ]
+
+            # Global-average-pool branch: mean over HW (fp32) → 1x1 conv →
+            # BN → ReLU → align-corners bilinear up (from 1x1 this is a
+            # broadcast).  PyTorch-default init (module defined outside
+            # Xception/ASPP, :425-428).
+            gap = jnp.mean(
+                feats_work.astype(jnp.float32), axis=(1, 2), keepdims=True)
+            gap = gap.astype(self.dtype)
+            gap = Conv2d(
                 256, 1, kernel_init=torch_default_conv_kernel_init(),
-                dtype=self.dtype, name="conv1",
-            )(x)
-        x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
-        x = nn.relu(x)
+                dtype=self.dtype, name="gap_conv",
+            )(gap)
+            gap = BatchNorm2d(dtype=self.dtype, name="gap_bn")(gap, train)
+            gap = nn.relu(gap)
+            gap = resize_bilinear_align_corners(gap, branches[-1].shape[1:3])
+            branches.append(gap)
+
+            if _split_concat():
+                # 1x1 merge conv as five partial matmuls — the 1280-lane
+                # concat never materializes and each branch's BN/ReLU fuses
+                # into its own partial's prologue
+                k1 = _KernelParam(
+                    (1, 1, 256 * len(branches), 256),
+                    torch_default_conv_kernel_init(), name="conv1",
+                )()
+                x = _conv_concat_split(branches, k1, padding=0,
+                                       compute_dtype=self.dtype)
+            else:
+                x = jnp.concatenate(branches, axis=-1)  # 5*256 = 1280
+                x = Conv2d(
+                    256, 1, kernel_init=torch_default_conv_kernel_init(),
+                    dtype=self.dtype, name="conv1",
+                )(x)
+            x = BatchNorm2d(dtype=self.dtype, name="bn1")(x, train)
+            x = nn.relu(x)
+        if sp:
+            x = my_rows(x, hs16)
 
         low = Conv2d(
             48, 1, kernel_init=torch_default_conv_kernel_init(),

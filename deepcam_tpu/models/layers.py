@@ -178,6 +178,15 @@ class Conv2d(nn.Module):
             (kh, kw, in_ch // self.groups, self.features),
             self.param_dtype,
         )
+        # spatial H-sharding (parallel/spatial.py): the local op below
+        # computes zero-padded 'same' semantics on the shard; a strip fix
+        # adds the cross-shard halo taps afterwards.  Applies to the 3x3
+        # padding==dilation configs the model uses on sharded tensors.
+        sp = (_spatial_on() and (kh, kw) == (3, 3) and self.groups == 1
+              and self.padding == _to_pair(self.dilation)[0]
+              and not self.s2d_pre)
+        if sp:
+            from ..parallel.spatial import conv3x3_strip_fix
         if self.s2d_pre:
             from ..ops.conv_small_ch import conv3x3s2_s2d_pre
 
@@ -206,9 +215,12 @@ class Conv2d(nn.Module):
                 and x.shape[1] % 2 == 0
                 and x.shape[2] % 2 == 0
                 and _use_s2d()
+                and not sp
             ):
                 # space-to-depth form: same math, TPU-friendly layout
-                # (ops/conv_small_ch.py)
+                # (ops/conv_small_ch.py).  Spatial mode keeps the direct
+                # form — its zero-pad-local semantics pair with the strip
+                # fix below.
                 y = conv3x3s2_s2d(
                     x.astype(self.dtype), kernel.astype(self.dtype)
                 )
@@ -218,6 +230,9 @@ class Conv2d(nn.Module):
                     kernel.astype(self.dtype),
                     stride,
                 )
+                if sp:
+                    y = conv3x3_strip_fix(
+                        y, x.astype(self.dtype), kernel, stride)
             if self.use_bias:
                 fan_in = in_ch * kh * kw
                 bias = self.param(
@@ -268,6 +283,10 @@ class Conv2d(nn.Module):
             groups=self.groups,
             compute_dtype=self.dtype,
         )
+        if sp:
+            y = conv3x3_strip_fix(
+                y, x.astype(self.dtype), kernel, _to_pair(self.stride)[0],
+                _to_pair(self.dilation)[0])
         if self.use_bias:
             fan_in = (in_ch // self.groups) * kh * kw
             bias = self.param(
@@ -357,6 +376,11 @@ class ConvTranspose2d(nn.Module):
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
                 y = space_to_blocks(yf)
+            if _spatial_on():
+                from ..parallel.spatial import deconv_k3s2_strip_fix
+
+                y = deconv_k3s2_strip_fix(
+                    y, xc, kernel.astype(self.dtype), block_out=True)
             if self.use_bias:
                 fan_in = self.features * kh * kw
                 bias = self.param(
@@ -391,6 +415,11 @@ class ConvTranspose2d(nn.Module):
                 lhs_dilation=(sh, sw),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        if _spatial_on():
+            assert is_k3s2, "spatial mode supports the k3/s2/p1/op1 deconvs"
+            from ..parallel.spatial import deconv_k3s2_strip_fix
+
+            y = deconv_k3s2_strip_fix(y, xc, kernel.astype(self.dtype))
         if self.use_bias:
             fan_in = self.features * kh * kw
             bias = self.param(
@@ -484,6 +513,25 @@ class ConvTranspose2d(nn.Module):
         )  # (N, H, W, (a, b, O))
         y = y4.reshape(n, h, w, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(n, 2 * h, 2 * w, o)
+
+
+# Spatial-sharding BN sync override (parallel/spatial.py): when the model
+# runs on H-shards inside the spatial shard_map, every BatchNorm computes
+# batch statistics pmean'd over the 'spatial' axis — each spatial GROUP
+# then has exactly the per-rank statistics of one reference DDP GPU.
+# None = normal (per-device) statistics.
+_BN_SYNC_AXIS: Optional[str] = None
+
+
+def set_bn_sync_axis(axis: Optional[str]) -> None:
+    global _BN_SYNC_AXIS
+    _BN_SYNC_AXIS = axis
+
+
+def _spatial_on() -> bool:
+    from ..parallel.spatial import spatial_active
+
+    return spatial_active()
 
 
 # Depthwise lowering: 'conv_vjp' (default) = grouped conv forward + custom
@@ -779,6 +827,9 @@ class SeparableConv2dSame(nn.Module):
 
         in_ch = x.shape[-1]
         fused, interpret = _fused_sepconv_active()
+        if (_spatial_on() and self.kernel_size == 3 and not self.use_bias):
+            return self._spatial_call(x, bn_fold, emit_stats, boundary,
+                                      fused, interpret)
         if boundary is not None:
             assert (self.kernel_size == 3 and self.stride == 1
                     and not self.use_bias and not self.pre_relu
@@ -955,6 +1006,124 @@ class SeparableConv2dSame(nn.Module):
             return x, None
         return x
 
+    def _dw_pw_local(self, h, dwk4, pwk4, d):
+        """The unfused sepconv body on the local shard (depthwise custom
+        VJP + pointwise conv — identical numerics to the non-spatial
+        unfused path)."""
+        from ..ops.depthwise import depthwise3x3
+
+        pad = fixed_padding(3, d)
+        y = depthwise3x3(h, dwk4.astype(self.dtype), 1, d, pad)
+        return conv2d(y, pwk4, compute_dtype=self.dtype)
+
+    def _spatial_call(self, x, bn_fold, emit_stats, boundary, fused,
+                      interpret):
+        """Spatial H-sharding path (parallel/spatial.py): the unmodified
+        local op (fused kernel or unfused composition — zero-padded 'same'
+        semantics on the shard) + additive halo-strip corrections.  The
+        parameter tree is identical to the non-spatial paths (same
+        ``depthwise``/``pointwise`` scopes, shapes, inits)."""
+        from ..parallel.spatial import dw_s2_strip_fix, sepconv_strip_fix
+
+        in_ch = x.shape[-1]
+        d = self.dilation
+        dwk4 = _KernelParam(
+            (3, 3, 1, in_ch), self.kernel_init, self.param_dtype,
+            name="depthwise",
+        )()
+        pwk4 = _KernelParam(
+            (1, 1, in_ch, self.features), self.kernel_init,
+            self.param_dtype, name="pointwise",
+        )()
+        dwk = dwk4[:, :, 0, :].astype(self.dtype)
+        pwk = pwk4[0, 0].astype(self.dtype)
+        xc = x.astype(self.dtype)
+
+        if self.stride == 2:
+            # bare stride-2 tail: [affine](x) → dw3x3/s2 → pw; the only
+            # cross-shard tap is output row 0 reading h[-1]
+            assert boundary is None and not self.pre_relu and d == 1
+            h = xc
+            if bn_fold is not None:
+                a, b = bn_fold
+                h = h * a.astype(self.dtype) + b.astype(self.dtype)
+            from ..ops.depthwise import depthwise3x3
+
+            ydw = depthwise3x3(h, dwk4.astype(self.dtype), 2, 1, (1, 1))
+            y = conv2d(ydw, pwk4, compute_dtype=self.dtype)
+            y = dw_s2_strip_fix(y, None, h[:, -1:], dwk, pwk)
+            return (y, None) if emit_stats else y
+
+        if boundary is not None:
+            (ba, bb), bskip = boundary
+            stats = None
+            if fused:
+                from ..ops.pallas.fused_sepconv import (
+                    fused_sepconv_boundary,
+                    fused_sepconv_boundary_stats,
+                )
+
+                args = (xc, ba.astype(self.dtype), bb.astype(self.dtype),
+                        bskip.astype(self.dtype), dwk, pwk, d, interpret)
+                if emit_stats:
+                    y, r, s1, s2 = fused_sepconv_boundary_stats(*args)
+                    stats = (s1, s2)
+                else:
+                    y, r = fused_sepconv_boundary(*args)
+            else:
+                r = nn.relu(
+                    xc * ba.astype(self.dtype) + bb.astype(self.dtype)
+                    + bskip.astype(self.dtype))
+                y = self._dw_pw_local(r, dwk4, pwk4, d)
+            out = sepconv_strip_fix(y, r[:, :d], r[:, -d:], dwk, pwk, d,
+                                    stats=stats)
+            if stats is not None:
+                y, stats = out
+            else:
+                y = out
+            return y, stats, r
+
+        def pre(t):
+            if bn_fold is not None:
+                a, b = bn_fold
+                t = t * a.astype(self.dtype) + b.astype(self.dtype)
+            if self.pre_relu:
+                t = nn.relu(t)
+            return t
+
+        stats = None
+        if fused:
+            from ..ops.pallas.fused_sepconv import (
+                fused_sepconv,
+                fused_sepconv_affine,
+                fused_sepconv_affine_stats,
+                fused_sepconv_stats,
+            )
+
+            if bn_fold is not None:
+                a, b = bn_fold
+                fn = fused_sepconv_affine_stats if emit_stats else (
+                    fused_sepconv_affine)
+                out = fn(xc, a.astype(self.dtype), b.astype(self.dtype),
+                         dwk, pwk, self.pre_relu, d, interpret)
+            else:
+                fn = fused_sepconv_stats if emit_stats else fused_sepconv
+                out = fn(xc, dwk, pwk, self.pre_relu, d, interpret)
+            if emit_stats:
+                y, s1, s2 = out
+                stats = (s1, s2)
+            else:
+                y = out
+        else:
+            y = self._dw_pw_local(pre(xc), dwk4, pwk4, d)
+        out = sepconv_strip_fix(y, pre(xc[:, :d]), pre(xc[:, -d:]),
+                                dwk, pwk, d, stats=stats)
+        if stats is not None:
+            y, stats = out
+        else:
+            y = out
+        return (y, stats) if emit_stats else y
+
 
 # ---------------------------------------------------------------------------
 # BatchNorm with torch semantics
@@ -1089,6 +1258,8 @@ class BatchNorm2d(nn.Module):
         shuffle on TPU, measured ~27 GB/step of copies).
         """
         g = group_blocks
+        # spatial-sharding override: sync stats over the H-shard axis
+        axis_name = self.axis_name or _BN_SYNC_AXIS  # noqa: attribute read
         features = x.shape[-1] // g
         scale = self.param("scale", nn.initializers.ones, (features,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,), self.param_dtype)
@@ -1115,10 +1286,10 @@ class BatchNorm2d(nn.Module):
                 jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
             mean = s1.reshape(g, features).sum(0) / n
             ex2 = s2.reshape(g, features).sum(0) / n
-            if self.axis_name is not None:
-                mean = lax.pmean(mean, self.axis_name)
-                ex2 = lax.pmean(ex2, self.axis_name)
-                n = n * lax.psum(1, self.axis_name)
+            if axis_name is not None:
+                mean = lax.pmean(mean, axis_name)
+                ex2 = lax.pmean(ex2, axis_name)
+                n = n * lax.psum(1, axis_name)
             var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -1131,10 +1302,10 @@ class BatchNorm2d(nn.Module):
             n = x.shape[0] * x.shape[1] * x.shape[2]
             mean = jnp.sum(s1, axis=red) / n
             ex2 = jnp.sum(s2, axis=red) / n
-            if self.axis_name is not None:
-                mean = lax.pmean(mean, self.axis_name)
-                ex2 = lax.pmean(ex2, self.axis_name)
-                n = n * lax.psum(1, self.axis_name)
+            if axis_name is not None:
+                mean = lax.pmean(mean, axis_name)
+                ex2 = lax.pmean(ex2, axis_name)
+                n = n * lax.psum(1, axis_name)
             # one-pass variance; clamp the fp32 cancellation residue
             var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
@@ -1152,10 +1323,10 @@ class BatchNorm2d(nn.Module):
             mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
             ex2 = jnp.mean(
                 jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
-            if self.axis_name is not None:
-                mean = lax.pmean(mean, self.axis_name)
-                ex2 = lax.pmean(ex2, self.axis_name)
-                n = n * lax.psum(1, self.axis_name)
+            if axis_name is not None:
+                mean = lax.pmean(mean, axis_name)
+                ex2 = lax.pmean(ex2, axis_name)
+                n = n * lax.psum(1, axis_name)
             var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -1166,9 +1337,9 @@ class BatchNorm2d(nn.Module):
             # pass 1: mean with fp32 accumulation
             mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
             n = x.shape[0] * x.shape[1] * x.shape[2]
-            if self.axis_name is not None:
-                mean = lax.pmean(mean, self.axis_name)
-                n = n * lax.psum(1, self.axis_name)
+            if axis_name is not None:
+                mean = lax.pmean(mean, axis_name)
+                n = n * lax.psum(1, axis_name)
             # pass 2: centered second moment in fp32 (numerically stabler
             # than E[x^2] - E[x]^2 and still one fused convert-sub-sq-reduce;
             # centering on the post-pmean mean keeps sync-BN exact)
@@ -1176,8 +1347,8 @@ class BatchNorm2d(nn.Module):
                 jnp.square(x.astype(jnp.float32) - mean),
                 axis=(0, 1, 2),
             )
-            if self.axis_name is not None:
-                var = lax.pmean(var, self.axis_name)
+            if axis_name is not None:
+                var = lax.pmean(var, axis_name)
             if not self.is_initializing():
                 m = self.momentum
                 unbiased = var * (n / max(n - 1, 1))
@@ -1193,7 +1364,7 @@ class BatchNorm2d(nn.Module):
         mode = _bn_bwd_custom()
         use_custom = mode == "1" or (
             mode == "big" and x.shape[1] * x.shape[2] >= 131072)
-        if (train and not fold and g == 1 and self.axis_name is None
+        if (train and not fold and g == 1 and axis_name is None
                 and use_custom):
             return _bn_train_apply(
                 x.astype(self.dtype), mean, var, scale, bias,

@@ -301,13 +301,17 @@ def _csplit(c: int, h: int) -> int:
     accumulator tiles register-resident across taps.  Opt-in
     ``DEEPCAM_FUSED_CSPLIT=N`` (N chunks, must divide C), applied at
     units with H ≥ ``DEEPCAM_FUSED_CSPLIT_MINH`` (default 96 — the entry
-    blocks); 0/1 = off."""
+    blocks) and C ≤ ``DEEPCAM_FUSED_CSPLIT_MAXC`` (default 128: the r5
+    server probe compiles+runs the split form at every c ≤ 128 entry
+    shape but the remote tpu_compile_helper CRASHES (HTTP 500) at
+    c ≥ 256 — analysis/r5_queue/csplit_probe.log); 0/1 = off."""
     import os
 
     v = os.environ.get("DEEPCAM_FUSED_CSPLIT", "0")
     n = int(v) if v.isdigit() else 0
     minh = int(os.environ.get("DEEPCAM_FUSED_CSPLIT_MINH", "96"))
-    if n <= 1 or h < minh or c % n != 0 or _use_wpad():
+    maxc = int(os.environ.get("DEEPCAM_FUSED_CSPLIT_MAXC", "128"))
+    if n <= 1 or h < minh or c > maxc or c % n != 0 or _use_wpad():
         return 1
     return n
 
@@ -366,6 +370,13 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
     affine = ab is not None
     with_skip = skip is not None
     assert not with_skip or (affine and pre_relu and not wpad)
+    # forward tap-loop c-split: opt-in on top of the bwd gate
+    # (DEEPCAM_FUSED_CSPLIT_FWD=1)
+    import os as _os
+
+    ncs_f = (_csplit(c, h)
+             if _os.environ.get("DEEPCAM_FUSED_CSPLIT_FWD", "0") == "1"
+             and not wpad else 1)
 
     def kernel(*refs):
         idx = 1
@@ -402,8 +413,19 @@ def _fwd_pallas(xp, dwk, pwk, *, pre_relu: bool, dilation: int,
             # r = relu(u) center rows — the residual stream for the next
             # block's skip path (halo rows belong to neighbor tiles)
             outs[-1][0] = ht[d:d + th].astype(outs[-1].dtype)
-        dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
-                             w_out=w if wpad else None)
+        if ncs_f > 1:
+            # c-minor split of the forward tap loop (DEEPCAM_FUSED_CSPLIT
+            # + _FWD=1): chunk-major over lanes, like the backward
+            csz = c // ncs_f
+            kk = dwk_ref[...]
+            dw32 = jnp.concatenate([
+                _dw_from_halo(ht[:, :, ci * csz:(ci + 1) * csz],
+                              kk[:, :, ci * csz:(ci + 1) * csz],
+                              th=th, d=d)
+                for ci in range(ncs_f)], axis=-1)
+        else:
+            dw32 = _dw_from_halo(ht, dwk_ref[...], th=th, d=d,
+                                 w_out=w if wpad else None)
         db = dw32.astype(xp.dtype).reshape(th * w, c)
         if emit_d:
             # the bf16-rounded depthwise output, for the backward's

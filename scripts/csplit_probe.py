@@ -10,8 +10,11 @@ Usage:  DEEPCAM_FUSED_CSPLIT=2 python -u scripts/csplit_probe.py [shape_idx]
 With no arg, runs all shapes sequentially (fresh compile each ~minutes).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

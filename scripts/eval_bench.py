@@ -97,20 +97,29 @@ def main():
         c, ls, us = eval_step(state, x, y, v)
         float(c); float(ls); float(us)
 
+        # EVAL_OVERLAP=1: the r5 driver pattern — partials stay on device,
+        # ONE device_get at loop end (cli/train.py run_validation); =0
+        # reproduces the old per-batch three-float fetch (~3.3 ms relay
+        # dispatch floor serialized per fetch).
+        overlap = os.environ.get("EVAL_OVERLAP", "0") == "1"
         n_batches = max(1, EVAL_SAMPLES // b)
         t0 = time.perf_counter()
-        tot = 0.0
-        for _ in range(n_batches):
-            c, ls, us = eval_step(state, x, y, v)
-            # production pattern: the driver fetches the three floats per
-            # batch (cli/train.py run_validation) — include that cost
-            tot += float(c) + float(ls) + float(us)
+        if overlap:
+            partials = [eval_step(state, x, y, v) for _ in range(n_batches)]
+            tot = sum(float(c) + float(ls) + float(us)
+                      for c, ls, us in jax.device_get(partials))
+        else:
+            tot = 0.0
+            for _ in range(n_batches):
+                c, ls, us = eval_step(state, x, y, v)
+                tot += float(c) + float(ls) + float(us)
         dt = time.perf_counter() - t0
         sps = n_batches * b / dt / n_chips
         print(json.dumps({
             "metric": "eval_samples_per_sec_per_chip",
             "eval_local_batch": eval_batch,
             "block_eval": block,
+            "overlap": overlap,
             "value": round(sps, 3),
             "ms_per_sample": round(1000 * dt / (n_batches * b), 2),
             "batches": n_batches,

@@ -92,6 +92,7 @@ def test_spatial_cli_run(tmp_path):
         "--amp_opt_level", "O0",
         "--target_iou", "2.0",
         "--spatial", "2",
+        "--spatial_impl", "gspmd",
         "--max_validation_steps", "0",
         # pin the reference's batch-1 eval (the budget assertion below
         # checks the per-REPLICA max_validation_steps semantics at the
@@ -121,6 +122,48 @@ def test_spatial_cli_run(tmp_path):
     for r in records:
         by_key.setdefault(r["key"], []).append(r)
     # batch sizes are per data REPLICA: 4 replicas x 1 sample
+    assert by_key["global_batch_size"][0]["value"] == 4
+    assert by_key["run_stop"][0]["metadata"]["status"] == "success"
+
+
+@pytest.mark.slow
+def test_spatial_shardmap_cli_run(tmp_path):
+    """``--spatial 2`` with the DEFAULT engine (--spatial_impl shard_map,
+    parallel/spatial.py): fused kernels stay active (sepconv impl remains
+    'auto'), halo strips + per-group sync-BN.  Needs H >= 64 so the
+    stride-16 stream gives every shard >= 2 rows (exit-flow d=2 halo)."""
+    from deepcam_tpu.models import layers as layerlib
+
+    root = make_synthetic_dataset(
+        str(tmp_path / "data"), n_train=8, n_validation=6, shape=(64, 48)
+    )
+    outdir = str(tmp_path / "out")
+    args = build_parser().parse_args([
+        "--data_dir_prefix", root,
+        "--output_dir", outdir,
+        "--run_tag", "spm",
+        "--local_batch_size", "1",
+        "--max_epochs", "1",
+        "--logging_frequency", "1",
+        "--validation_frequency", "2",
+        "--save_frequency", "100",
+        "--amp_opt_level", "O0",
+        "--target_iou", "2.0",
+        "--spatial", "2",
+        "--eval_local_batch_size", "2",
+    ])
+    result = main(args)
+    # the fused-kernel path must NOT have forced the xla lowering
+    assert layerlib.get_sepconv_impl() == "auto"
+    assert result["step"] == 2
+    assert result["eval_iou"] is not None
+    assert 0.0 <= result["eval_iou"] <= 1.0
+    assert result["eval_samples_seen"] == 6.0  # whole validation set
+
+    records = parse_mllog(os.path.join(outdir, "logs", "spm.log"))
+    by_key = {}
+    for r in records:
+        by_key.setdefault(r["key"], []).append(r)
     assert by_key["global_batch_size"][0]["value"] == 4
     assert by_key["run_stop"][0]["metadata"]["status"] == "success"
 
