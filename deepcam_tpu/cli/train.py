@@ -460,23 +460,28 @@ def main(pargs) -> dict:
 
     def visualize_sample(state, data, label, names, step, prefix,
                          s2d: bool = False):
-        # names covers only the real (unpadded) samples of the batch
+        # names covers only the real (unpadded) samples of the batch.
+        # ONE sample is host-gathered and predicted replicated — sharding-
+        # agnostic (works under data AND data x spatial layouts; the
+        # Pallas custom-calls need no partitioner support here) and the
+        # eval-mode forward runs at batch 1 instead of the full batch.
+        sample_idx = int(np.random.randint(0, len(names)))
+        sample = np.asarray(data)[sample_idx:sample_idx + 1]
         if s2d:
             # the s2d input feed delivers (N, H/2, W/2, 64) — restore the
             # full-res layout for the eval-mode predict and the plot
             from ..ops.conv_small_ch import s2d_inv_host
 
-            data = jnp.asarray(s2d_inv_host(np.asarray(data)))
-        sample_idx = int(np.random.randint(0, len(names)))
-        preds = predict(state, data)
+            sample = s2d_inv_host(sample)
+        preds = predict(state, jnp.asarray(sample))
         outputfile = os.path.basename(names[sample_idx]).replace(
             "data-", prefix + "-"
         ).replace(".h5", ".png")
         outputfile = os.path.join(plot_dir, outputfile)
         viz.plot(
             names[sample_idx], outputfile,
-            np.asarray(data[sample_idx, :, :, 0], dtype=np.float32),
-            np.asarray(preds[sample_idx]),
+            np.asarray(sample[0, :, :, 0], dtype=np.float32),
+            np.asarray(preds[0]),
             np.asarray(label[sample_idx]),
         )
         wb.log_image(
@@ -530,9 +535,35 @@ def main(pargs) -> dict:
         if pargs.max_validation_steps is not None:
             budget = (pargs.max_validation_steps + 1) * n_local_replicas
 
+        # Every host MUST issue the same number of eval_step calls — the
+        # step psums across processes, so a host whose (uneven) validation
+        # shard yields fewer batches would deadlock the pod (the last rank
+        # absorbs the shard remainder; reference has no in-loop
+        # collectives and doesn't care, train_hdf5_ddp.py:430-494).
+        # Hosts with smaller shards pad with valid=0 batches up to the
+        # globally largest batch count.
+        base = validation_set.global_size // max(comm_size, 1)
+        max_local = base + validation_set.global_size % max(comm_size, 1)
+        n_calls = -(-max_local // eval_host_batch)
+        if budget is not None:
+            n_calls = min(n_calls, -(-budget // eval_host_batch))
+
         def host_batches():
             seen_local = 0
-            for data, label, names in validation_loader:
+            it = iter(validation_loader)
+            zero_shape = None
+            for _ in range(n_calls):
+                try:
+                    data, label, names = next(it)
+                except StopIteration:
+                    h, w = validation_set.data_shape[:2]
+                    data = np.zeros(
+                        (eval_host_batch, h, w, len(pargs.channels)),
+                        np.float32)
+                    label = np.zeros((eval_host_batch, h, w), np.int32)
+                    yield (cast_input(data), label,
+                           np.zeros((eval_host_batch,), np.float32), ())
+                    continue
                 n = data.shape[0]
                 valid = np.ones((n,), np.float32)
                 if budget is not None and seen_local + n > budget:
@@ -543,9 +574,9 @@ def main(pargs) -> dict:
                     label = np.concatenate([label, np.zeros((pad,) + label.shape[1:], label.dtype)])
                     valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
                 seen_local += n
+                if budget is not None and seen_local > budget:
+                    seen_local = budget
                 yield cast_input(data), label, valid, names
-                if budget is not None and seen_local >= budget:
-                    return
 
         # Overlapped eval loop: batches prefetch to device while the
         # previous eval_step runs, and the (count, loss, iou) partials stay
@@ -564,6 +595,7 @@ def main(pargs) -> dict:
                 viz is not None
                 and pargs.validation_visualization_frequency > 0
                 and not visualized
+                and names  # pad-only batches carry no real samples
             ):
                 visualize_sample(state, d, np.asarray(l), names, step,
                                  "validation")

@@ -269,16 +269,19 @@ def _emit_d(h: int) -> bool:
     return v.isdigit() and v != "0" and h >= int(v)
 
 
-def _dd16() -> bool:
-    """Round the backward's pointwise dgrad (dd) to the compute dtype
-    before the tap loops — opt-in DEEPCAM_FUSED_DD16=1 pending the
-    whole-model A/B.  This is not a precision loss vs the PARITY target:
-    the unfused XLA path's pointwise-dgrad conv emits bf16 and its
-    depthwise dgrad/wgrad convs consume that; the kernel's fp32 dd was
-    strictly tighter than required."""
+def _dd16() -> str:
+    """Backward pointwise-dgrad (dd) precision for the tap loops:
+    ``"0"`` (default) fp32; ``"1"`` cast to the compute dtype after the
+    matmul (r4: 0.994x — the cast pass cost more than the read saving);
+    (``"direct"`` — emitting bf16 straight from the matmul's
+    preferred_element_type — is a documented WALL: Mosaic verifies
+    'tpu.matmul acc must be 32-bit', r5 probe; it lowers as the =1 cast
+    form.)  Not a precision loss vs the PARITY target either way: the
+    unfused XLA path's pointwise-dgrad conv emits bf16 and its depthwise
+    dgrad/wgrad convs consume that."""
     import os
 
-    return os.environ.get("DEEPCAM_FUSED_DD16", "0") == "1"
+    return os.environ.get("DEEPCAM_FUSED_DD16", "0")
 
 
 def _fuse_tap_loops() -> bool:
@@ -597,16 +600,19 @@ def _bwd_pallas(xp, gp, dwk, pwk_t, *, pre_relu: bool, dilation: int,
             ht = _zero_pad_rows(ht, hi, th=th, d=d, h=h, wpad=wpad)
 
         # pointwise dgrad over the haloed rows (zero g halo → zero dd halo)
+        dd_mode = _dd16()
         dd = jnp.dot(
             gt.reshape(thh * w_op, f), pwt_ref[...],
             preferred_element_type=jnp.float32,
         ).reshape(thh, w_op, c)
-        if _dd16():
+        if dd_mode in ("1", "direct"):
             # round the pointwise dgrad to the compute dtype before the
             # tap loops — EXACTLY the unfused path's precision (its
             # pointwise-dgrad conv emits bf16, which the depthwise dgrad
             # and wgrad convs then consume); halves the tap loops' dd
             # read traffic.  Products still upcast to fp32 per-term.
+            # (=direct emits the compute dtype straight from the matmul
+            # epilogue instead — no separate cast pass.)
             dd = dd.astype(xp.dtype)
 
         # depthwise dgrad: flipped-kernel taps of dd — chunk-major over

@@ -199,6 +199,79 @@ def test_two_process_spatial_gspmd_step(tmp_path):
     assert abs(results[0]["loss"] - ref_loss) < 1e-5, (results, ref_loss)
 
 
+CLI_WORKER = r"""
+import os, sys, json
+proc_id = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+root = sys.argv[4]; outdir = sys.argv[5]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nprocs, process_id=proc_id,
+)
+sys.path.insert(0, os.getcwd())
+from deepcam_tpu.cli.train import build_parser, main
+res = main(build_parser().parse_args([
+    "--data_dir_prefix", root, "--output_dir", outdir,
+    "--run_tag", "mh4", "--local_batch_size", "1", "--max_epochs", "1",
+    "--logging_frequency", "1", "--validation_frequency", "1",
+    "--save_frequency", "0", "--amp_opt_level", "O0",
+    "--target_iou", "2.0", "--eval_local_batch_size", "1",
+]))
+print(json.dumps({"proc": proc_id, "step": res["step"],
+                  "eval_seen": res["eval_samples_seen"],
+                  "eval_iou": res["eval_iou"]}))
+"""
+
+
+@pytest.mark.slow
+def test_four_process_cli_uneven_validation(tmp_path):
+    """FULL CLI across 4 processes x 2 devices with an UNEVEN validation
+    split (10 samples over 4 hosts → shards [2,2,2,4]; the last rank
+    absorbs the remainder).  The hosts therefore see different per-host
+    batch counts — the eval loop must pad the smaller hosts with valid=0
+    batches or the in-step psums deadlock the pod.  Every sample must be
+    counted exactly once (eval_samples_seen == 10 on every process)."""
+    import json
+
+    from deepcam_tpu.data.synthetic import make_synthetic_dataset
+
+    root = make_synthetic_dataset(
+        str(tmp_path / "data"), n_train=8, n_validation=10, shape=(32, 48)
+    )
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(CLI_WORKER)
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir, exist_ok=True)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "4", "29517", root,
+             outdir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, f"cli worker failed:\n{err[-3000:]}"
+    results = [json.loads(out.strip().splitlines()[-1])
+               for _, out, _ in outs]
+    assert {r["proc"] for r in results} == {0, 1, 2, 3}
+    for r in results:
+        # 8 train files / (1 x 8 devices) = 1 step; all 10 validation
+        # samples counted exactly once despite the uneven shards
+        assert r["step"] == 1, results
+        assert r["eval_seen"] == 10.0, results
+        assert 0.0 <= r["eval_iou"] <= 1.0
+
+
 @pytest.mark.slow
 def test_two_process_training_step(tmp_path):
     from deepcam_tpu.data.synthetic import make_synthetic_dataset
