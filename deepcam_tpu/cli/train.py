@@ -77,14 +77,14 @@ def build_parser() -> ap.ArgumentParser:
     AP.add_argument("--seed", type=int, default=333)
     AP.add_argument("--remat", action="store_true",
                     help="rematerialize middle-flow activations to save HBM")
-    AP.add_argument("--eval_local_batch_size", type=int, default=16,
+    AP.add_argument("--eval_local_batch_size", type=int, default=32,
                     help="Per-chip validation batch (semantics stay "
                          "per-sample via the validity mask; the reference "
                          "hardcodes 1, train_hdf5_ddp.py:301-306).  "
-                         "Default 16 = the measured eval knee on v5e: "
-                         "62.5 samples/s/chip vs 54.9 at batch 8 and 11.0 "
-                         "at batch 1 (r4 eval bench, "
-                         "analysis/r4_queue/eval_bench*.log)")
+                         "Default 32 = the measured eval knee on v5e with "
+                         "the overlapped r5 loop: 123.6 samples/s/chip vs "
+                         "117.0 at batch 16 (72.4 pre-overlap) and 11.0 "
+                         "at batch 1 (analysis/r5_queue/eval_*.log)")
     AP.add_argument("--async_checkpoint", action="store_true",
                     help="write checkpoints from a background thread so the "
                          "step loop never stalls on the ~0.5 GB host fetch "
