@@ -11,11 +11,23 @@ handful of kernels, so there is nothing to hand-fuse.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Union
 
 import optax
 
 ScalarOrSchedule = Union[float, Callable]
+
+
+def _flatten_opt() -> bool:
+    """DEEPCAM_OPT_FLATTEN=1: run the update math over ONE concatenated
+    parameter vector (``optax.flatten``) instead of ~160 per-tensor ops.
+    r1 measured flatten WORSE (12.1 vs 10.1 ms) but that verdict predates
+    every graph change since; opt-in for the r5 re-test.  Elementwise
+    optimizers only — LAMB's trust ratio is PER-TENSOR and flattening
+    would change its math.  NOTE: changes the opt_state tree (flat), so
+    checkpoints are not interchangeable with the per-tensor form."""
+    return os.environ.get("DEEPCAM_OPT_FLATTEN", "0") == "1"
 
 
 def build_optimizer(
@@ -38,15 +50,17 @@ def build_optimizer(
       kernel in tests/test_lamb_golden.py.
     """
     if name == "Adam":
-        return optax.chain(
+        tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=eps),
             optax.scale_by_learning_rate(learning_rate),
         )
+        return optax.flatten(tx) if _flatten_opt() else tx
     if name == "AdamW":
-        return optax.adamw(
+        tx = optax.adamw(
             learning_rate, b1=0.9, b2=0.999, eps=eps, weight_decay=weight_decay
         )
+        return optax.flatten(tx) if _flatten_opt() else tx
     if name == "LAMB":
         return optax.chain(
             optax.clip_by_global_norm(1.0),
